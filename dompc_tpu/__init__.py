@@ -1,0 +1,57 @@
+"""dompc_tpu — a TPU-native nonlinear MPC + MHE framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of do-mpc
+(reference layout: do_mpc/__init__.py): symbolic CasADi graphs become traced
+JAX functions, IPOPT becomes a custom batched interior-point solver with
+stage-structured KKT factorization, SUNDIALS becomes fixed-step implicit
+Radau collocation — everything jit/vmap/shard_map-able over TPU meshes.
+"""
+import os
+
+# Accuracy-critical control workloads want f64 on CPU; on TPU the benches
+# run f32 (see bench.py).  Opt in via DOMPC_TPU_X64=1 (tests do) — we avoid
+# auto-detection here because querying the backend at import time would lock
+# the platform choice for the whole process.
+import jax as _jax
+if os.environ.get("DOMPC_TPU_X64") == "1":
+    _jax.config.update("jax_enable_x64", True)
+
+from . import sym
+from . import tools
+from . import model
+from . import data
+from . import simulator as _simulator_mod
+from .simulator import Simulator
+from . import controller
+from . import estimator
+from . import optimizer
+from . import sampling
+from . import differentiator
+from . import graphics
+from . import parallel
+
+# optional-dependency gates (reference: do_mpc/__init__.py:79-95)
+try:
+    import onnx as _onnx  # noqa: F401
+    __ONNX_INSTALLED__ = True
+    from . import sysid
+except ImportError:
+    __ONNX_INSTALLED__ = False
+
+try:
+    import asyncua as _asyncua  # noqa: F401
+    __ASYNCUA_INSTALLED__ = True
+    from . import opcua
+except ImportError:
+    __ASYNCUA_INSTALLED__ = False
+
+try:
+    import flax as _flax  # noqa: F401
+    __FLAX_INSTALLED__ = True
+    from . import approximateMPC
+except ImportError:
+    __FLAX_INSTALLED__ = False
+
+simulator = _simulator_mod
+
+__version__ = "0.1.0"

@@ -1,0 +1,227 @@
+"""Named flat-vector structures.
+
+The reference leans on ``casadi.tools.struct_symSX`` for every variable group
+(do_mpc/model/_model.py:960-1006) and on power-indexed numeric structures for
+bounds/scaling (do_mpc/optimizer.py:233-446).  Here a :class:`StructSpec` is a
+static ordered name->shape table with flat offsets; numeric data lives in plain
+numpy / JAX arrays which pack/unpack through the spec.  Matrices flatten in
+column-major (Fortran) order to match CasADi vectorization semantics.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _shape_tuple(shape):
+    if isinstance(shape, int):
+        return (shape, 1)
+    shape = tuple(int(s) for s in shape)
+    if len(shape) == 1:
+        return (shape[0], 1)
+    return shape
+
+
+class StructSpec:
+    """Ordered collection of named blocks with shapes, flattened into one vector."""
+
+    def __init__(self, entries=()):
+        # entries: iterable of (name, shape)
+        self.names: list[str] = []
+        self.shapes: dict[str, tuple] = {}
+        self.offsets: dict[str, int] = {}
+        self.size = 0
+        for name, shape in entries:
+            self.add(name, shape)
+
+    def add(self, name: str, shape):
+        assert name not in self.shapes, f"duplicate entry {name!r}"
+        shape = _shape_tuple(shape)
+        self.names.append(name)
+        self.shapes[name] = shape
+        self.offsets[name] = self.size
+        self.size += int(np.prod(shape))
+
+    def block_size(self, name: str) -> int:
+        return int(np.prod(self.shapes[name]))
+
+    def slice(self, name: str) -> slice:
+        o = self.offsets[name]
+        return slice(o, o + self.block_size(name))
+
+    def labels(self):
+        out = []
+        for name in self.names:
+            n = self.block_size(name)
+            out += [f"[{name},{i}]" for i in range(n)]
+        return out
+
+    # -- packing -----------------------------------------------------------
+    def pack(self, d: dict, xp=np, dtype=None):
+        """dict name->array  ->  flat vector (column-major per block)."""
+        if self.size == 0:
+            return xp.zeros((0,), dtype=dtype)
+        parts = []
+        for name in self.names:
+            v = d[name]
+            v = xp.asarray(v, dtype=dtype) if dtype else xp.asarray(v)
+            parts.append(xp.reshape(v.T, (-1,)) if v.ndim > 1
+                         else xp.reshape(v, (-1,)))
+        return xp.concatenate(parts)
+
+    def unpack(self, vec, xp=np) -> dict:
+        """flat vector -> dict name->array (vectors 1-D, matrices 2-D)."""
+        out = {}
+        for name in self.names:
+            s = self.slice(name)
+            shape = self.shapes[name]
+            blk = vec[..., s]
+            if shape[1] == 1:
+                out[name] = blk
+            else:
+                out[name] = xp.swapaxes(
+                    xp.reshape(blk, blk.shape[:-1] + (shape[1], shape[0])),
+                    -1, -2)
+        return out
+
+    def zeros(self, xp=np, dtype=float):
+        return xp.zeros((self.size,), dtype=dtype)
+
+    def full(self, value, xp=np, dtype=float):
+        return xp.full((self.size,), value, dtype=dtype)
+
+    def __contains__(self, name):
+        return name in self.shapes
+
+    def __iter__(self):
+        return iter(self.names)
+
+    def __repr__(self):
+        return ("StructSpec(" + ", ".join(
+            f"{n}:{self.shapes[n]}" for n in self.names) + ")")
+
+
+class NumStruct:
+    """Numeric vector with name-based get/set through a StructSpec.
+
+    Mirrors the ergonomics of CasADi numeric structs used throughout the
+    reference (e.g. ``mpc.x0['C_a'] = 0.5``)."""
+
+    def __init__(self, spec: StructSpec, value=0.0, data=None):
+        self.spec = spec
+        if data is not None:
+            self.data = np.asarray(data, dtype=float).reshape(-1).copy()
+            assert self.data.size == spec.size
+        else:
+            self.data = spec.full(float(value))
+
+    @property
+    def cat(self):
+        return self.data.reshape(-1, 1)
+
+    @property
+    def master(self):
+        return self.data
+
+    @master.setter
+    def master(self, value):
+        self.data[:] = np.asarray(value, dtype=float).reshape(-1)
+
+    def __getitem__(self, name):
+        if isinstance(name, tuple):
+            name, *rest = name
+            blk = self._block(name)
+            return blk[tuple(rest)]
+        return self._block(name)
+
+    def _block(self, name):
+        s = self.spec.slice(name)
+        shape = self.spec.shapes[name]
+        view = self.data[s]
+        if shape[1] == 1:
+            return view.reshape(shape[0], 1)
+        return view.reshape(shape[1], shape[0]).T
+
+    def __setitem__(self, name, value):
+        if isinstance(name, tuple):
+            name, *rest = name
+            s = self.spec.slice(name)
+            shape = self.spec.shapes[name]
+            blk = self.data[s].reshape((shape[1], shape[0])).T.copy()
+            blk[tuple(rest)] = np.asarray(value, dtype=float).reshape(
+                np.shape(blk[tuple(rest)]))
+            self.data[s] = blk.T.reshape(-1)
+            return
+        s = self.spec.slice(name)
+        shape = self.spec.shapes[name]
+        v = np.asarray(value, dtype=float)
+        if v.size == 1:
+            self.data[s] = float(v.reshape(-1)[0])
+        else:
+            self.data[s] = v.reshape(shape, order="C").T.reshape(-1) \
+                if v.ndim > 1 else np.broadcast_to(v.reshape(-1), (s.stop - s.start,))
+
+    def to_dict(self):
+        return self.spec.unpack(self.data)
+
+    def copy(self):
+        return NumStruct(self.spec, data=self.data.copy())
+
+    def __repr__(self):
+        return f"NumStruct({ {n: self._block(n).ravel() for n in self.spec.names} })"
+
+
+class FieldAccessor:
+    """Power-index accessor, e.g. ``mpc.bounds['lower','_x','T_R'] = 50``.
+
+    Replaces the reference's ``IndexedProperty`` descriptor
+    (do_mpc/tools/_indexedproperty.py:3-45).  ``getter(key)``/``setter(key,
+    value)`` receive the full index tuple.
+    """
+
+    def __init__(self, getter, setter):
+        self._getter = getter
+        self._setter = setter
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        return self._getter(key)
+
+    def __setitem__(self, key, value):
+        if not isinstance(key, tuple):
+            key = (key,)
+        self._setter(key, value)
+
+
+class Structure:
+    """Nested power-index container used by Graphics
+    (reference: do_mpc/tools/_structure.py:15-192): a minimal dict/list hybrid."""
+
+    def __init__(self):
+        self._data = {}
+
+    def __setitem__(self, key, value):
+        if not isinstance(key, tuple):
+            key = (key,)
+        self._data[key] = value
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        exact = self._data.get(key)
+        if exact is not None:
+            return exact
+        # prefix query returns list of matching values
+        out = [v for k, v in self._data.items() if k[:len(key)] == key]
+        if not out:
+            raise KeyError(key)
+        return out
+
+    def keys(self):
+        return self._data.keys()
+
+    def values(self):
+        return self._data.values()
+
+    def items(self):
+        return self._data.items()
