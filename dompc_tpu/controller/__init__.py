@@ -1,1 +1,6 @@
-"""Placeholder — populated in build order (see SURVEY.md §7.2)."""
+"""Controllers (reference: do_mpc/controller/)."""
+from ._mpc import MPC
+from ._controllersettings import MPCSettings, ControllerSettings, LQRSettings
+from ._lqr import LQR
+
+__all__ = ["MPC", "LQR", "MPCSettings", "ControllerSettings", "LQRSettings"]

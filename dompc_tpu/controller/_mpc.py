@@ -1,0 +1,691 @@
+"""Nonlinear (economic, robust multi-stage) model-predictive controller.
+
+TPU-native re-design of the reference ``do_mpc/controller/_mpc.py:37-1341``.
+The NLP is identical in semantics (same collocation transcription, scenario
+tree, scaling, soft constraints, cost weighting) but is assembled as a pair
+of pure JAX functions (objective / constraints) whose per-(stage, scenario,
+branch) structure is expressed by gather-index arrays + ``vmap`` instead of
+the reference's symbolic triple loop (_mpc.py:1200-1284); it is solved by the
+batched interior-point solver in :mod:`dompc_tpu.solver.ipm` instead of
+IPOPT.  ``make_step`` (ref :975-1059) keeps the exact data-logging and
+warm-start semantics.
+"""
+from __future__ import annotations
+
+import itertools
+import time as _time
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..model._iteratedvariables import IteratedVariables
+from ..optimizer import (Optimizer, OCPLayout, build_scenario_tree,
+                         make_stage_residual)
+from ..tools import NumStruct, StructSpec
+from ..data import MPCData
+from ..solver.ipm import make_ipm_solver, IPMSettings
+from .. import sym as casym
+from ._controllersettings import MPCSettings
+
+
+class _PTemplate:
+    """Numeric template over n_combinations parameter sets
+    (reference: controller/_mpc.py:711-817)."""
+
+    def __init__(self, p_spec, n_comb):
+        self._spec = p_spec
+        self.n_comb = n_comb
+        self._data = np.zeros((n_comb, p_spec.size))
+
+    def __setitem__(self, key, value):
+        if isinstance(key, tuple) and key[0] == "_p":
+            key = key[1:]
+        if isinstance(key, str):
+            self._data[:, self._spec.slice(key)] = np.asarray(
+                value, dtype=float).reshape(1, -1)
+            return
+        if isinstance(key, tuple):
+            k = key[0]
+            if len(key) > 1:
+                self._data[k, self._spec.slice(key[1])] = np.asarray(
+                    value, dtype=float).reshape(-1)
+            else:
+                self._data[k, :] = np.asarray(value, dtype=float).reshape(-1)
+        else:
+            self._data[key, :] = np.asarray(value, dtype=float).reshape(-1)
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and key[0] == "_p":
+            key = key[1:]
+        if isinstance(key, str):
+            return self._data[:, self._spec.slice(key)]
+        if isinstance(key, tuple) and len(key) > 1:
+            return self._data[key[0], self._spec.slice(key[1])]
+        return self._data[key]
+
+    def array(self):
+        return self._data
+
+
+class MPC(Optimizer, IteratedVariables):
+    """Model predictive controller (reference: controller/_mpc.py:37)."""
+
+    def __init__(self, model, settings: MPCSettings | None = None):
+        assert model.flags["setup"], "Model must be setup before MPC."
+        self._init_iterated_variables(model)
+        self._init_optimizer()
+        self.settings = settings or MPCSettings()
+        self.data = MPCData(model)
+        self.flags = {
+            "setup": False, "set_objective": False, "set_rterm": False,
+            "set_tvp_fun": False, "set_p_fun": False,
+            "set_initial_guess": False, "initial_run": False,
+        }
+        self.rterm_factor = NumStruct(model.spec("_u"), 0.0)
+        self._rterm_fun_sym = None
+        self.n_combinations = 1
+        self._lterm = None
+        self._mterm = None
+
+    # ------------------------------------------------------------- config --
+    @property
+    def u_prev(self):
+        """Sym view of the previous input for custom rterm expressions
+        (reference rterm ``u_prev`` alias, _mpc.py:593-677)."""
+        from ..model._model import SymView
+        return SymView("_u_prev", self.model.spec("_u"))
+
+    def set_param(self, **kwargs):
+        """Deprecated kwargs path (reference: _mpc.py:482-523)."""
+        for k, v in kwargs.items():
+            if hasattr(self.settings, k):
+                setattr(self.settings, k, v)
+
+    def set_objective(self, mterm=None, lterm=None):
+        """Stage cost lterm(x,u,z,tvp,p) + terminal cost mterm(x,tvp,p)
+        (reference: _mpc.py:525)."""
+        assert not self.flags["setup"]
+        self._mterm = casym.to_sym(mterm if mterm is not None else 0.0)
+        self._lterm = casym.to_sym(lterm if lterm is not None else 0.0)
+        self.flags["set_objective"] = True
+
+    def set_rterm(self, rterm=None, **kwargs):
+        """Input-rate penalty: quadratic factors (kwargs) or a custom
+        expression using ``mpc.u_prev`` (reference: _mpc.py:593-677)."""
+        assert not self.flags["setup"]
+        if rterm is not None:
+            self._rterm_fun_sym = casym.to_sym(rterm)
+        for name, val in kwargs.items():
+            self.rterm_factor[name] = val
+        self.flags["set_rterm"] = True
+
+    def get_p_template(self, n_combinations: int):
+        self.n_combinations = n_combinations
+        return _PTemplate(self.model.spec("_p"), n_combinations)
+
+    def set_p_fun(self, p_fun):
+        self.p_fun = p_fun
+        self.flags["set_p_fun"] = True
+
+    def set_uncertainty_values(self, **kwargs):
+        """High-level API: cartesian product of per-parameter value lists;
+        the first value of each list is nominal (reference: _mpc.py:819-881)."""
+        spec = self.model.spec("_p")
+        values = []
+        for name in spec.names:
+            assert name in kwargs, f"missing uncertainty values for {name!r}"
+            values.append(np.atleast_1d(np.asarray(kwargs[name], dtype=float)))
+        combos = np.array(list(itertools.product(*values)))
+        n_comb = combos.shape[0]
+        tmpl = self.get_p_template(n_comb)
+        tmpl._data[:, :] = combos
+        self.set_p_fun(lambda t: tmpl)
+
+    # -------------------------------------------------------------- setup --
+    def _check_validity(self):
+        """Reference: _mpc.py:883-933."""
+        if not self.flags["set_objective"]:
+            raise RuntimeError("Objective is undefined. Call set_objective().")
+        if not self.flags["set_rterm"]:
+            warnings.warn("rterm was not set and defaults to zero.")
+        if not self.flags["set_tvp_fun"] and self.model.n_tvp > 0:
+            raise RuntimeError("Model has tvp but set_tvp_fun() not called.")
+        if not self.flags["set_p_fun"] and self.model.n_p > 0:
+            raise RuntimeError("Model has p but no p_fun/uncertainty values.")
+        for lbs, ubs in ((self._x_lb, self._x_ub), (self._u_lb, self._u_ub),
+                         (self._z_lb, self._z_ub)):
+            assert np.all(lbs.data <= ubs.data), "lower bound > upper bound"
+        if self.settings.use_terminal_bounds:
+            if np.all(self._x_terminal_ub.data == np.inf):
+                self._x_terminal_ub.data[:] = self._x_ub.data
+            if np.all(self._x_terminal_lb.data == -np.inf):
+                self._x_terminal_lb.data[:] = self._x_lb.data
+        if self.model.n_tvp == 0 and self.tvp_fun is None:
+            self.set_tvp_fun(lambda t: np.zeros((0,)))
+        if self.model.n_p == 0 and self.p_fun is None:
+            tmpl = self.get_p_template(1)
+            self.set_p_fun(lambda t: tmpl)
+
+    def setup(self):
+        self.prepare_nlp()
+        self.create_nlp()
+        return self
+
+    def prepare_nlp(self):
+        self._prepare_nlp()
+
+    def create_nlp(self):
+        self._create_solver()
+        self._prepare_data()
+        self.flags["setup"] = True
+
+    # ---------------------------------------------------- NLP construction --
+    def _prepare_nlp(self):
+        st = self.settings
+        st.check_for_mandatory_settings()
+        model = self.model
+        self._setup_nl_cons()
+        self._check_validity()
+
+        n_x, n_u, n_z = model.n_x, model.n_u, model.n_z
+        n_tvp, n_p = model.n_tvp, model.n_p
+        N = st.n_horizon
+        n_comb = self.n_combinations
+
+        stage_g, n_coll = make_stage_residual(
+            model, st, self._x_scaling.data, self._z_scaling.data,
+            self._u_scaling.data)
+        self._stage_g = stage_g
+        self.n_total_coll_points = n_coll
+        n_coll_z = max(n_coll, 1)
+
+        tree = build_scenario_tree(n_comb, N, st.n_robust)
+        self.scenario_tree = tree
+        nscen = tree["n_scenarios"]
+        nbr = tree["n_branches"]
+        child = tree["child_scenario"]
+        parent = tree["parent_scenario"]
+        boff = tree["branch_offset"]
+        n_max = nscen[-1]
+        n_eps_rep = 1 if st.nl_cons_single_slack else N
+        nev = self.n_eps_vars
+
+        def n_u_scen(k):
+            return 1 if st.open_loop else nscen[k]
+
+        # ----- layout (stage-major) -----
+        L = OCPLayout()
+        for k in range(N):
+            for s in range(nscen[k]):
+                L.add(("x_node", k, s), n_x, k)
+            for su in range(n_u_scen(k)):
+                L.add(("u", k, su), n_u, k)
+            if k < n_eps_rep and nev:
+                eps_scen = nscen[k] if n_eps_rep == N else n_max
+                for s in range(eps_scen):
+                    L.add(("eps", k, s), nev, k)
+            for c in range(nscen[k + 1]):
+                if n_coll:
+                    L.add(("x_coll", k, c), n_coll * n_x, k)
+                if n_z:
+                    L.add(("z", k, c), n_coll_z * n_z, k)
+        for s in range(nscen[N]):
+            L.add(("x_node", N, s), n_x, N)
+        self.layout = L
+        self.n_opt_x = L.size
+
+        # ----- scaling vector over w -----
+        scal = np.ones(L.size)
+        for key in L.offsets:
+            kind = key[0]
+            if kind == "x_node":
+                scal[L.sl(key)] = self._x_scaling.data
+            elif kind == "x_coll":
+                scal[L.sl(key)] = np.tile(self._x_scaling.data, n_coll)
+            elif kind == "z":
+                scal[L.sl(key)] = np.tile(self._z_scaling.data, n_coll_z)
+            elif kind == "u":
+                scal[L.sl(key)] = self._u_scaling.data
+        self.opt_x_scaling = scal
+
+        # ----- bounds over w (reference _update_bounds, _mpc.py:1061-1095) --
+        lb = np.full(L.size, -np.inf)
+        ub = np.full(L.size, np.inf)
+        xs, us, zs = (self._x_scaling.data, self._u_scaling.data,
+                      self._z_scaling.data)
+        for key in L.offsets:
+            kind = key[0]
+            if kind == "x_node":
+                k = key[1]
+                if 1 <= k <= N - 1:
+                    lb[L.sl(key)] = self._x_lb.data / xs
+                    ub[L.sl(key)] = self._x_ub.data / xs
+                elif k == N:
+                    lb[L.sl(key)] = self._x_terminal_lb.data / xs
+                    ub[L.sl(key)] = self._x_terminal_ub.data / xs
+            elif kind == "x_coll" and st.cons_check_colloc_points:
+                # '_x',1:N covers the collocation blocks of intervals 0..N-2
+                if key[1] <= N - 2:
+                    lb[L.sl(key)] = np.tile(self._x_lb.data / xs, n_coll)
+                    ub[L.sl(key)] = np.tile(self._x_ub.data / xs, n_coll)
+            elif kind == "z":
+                if st.cons_check_colloc_points:
+                    lb[L.sl(key)] = np.tile(self._z_lb.data / zs, n_coll_z)
+                    ub[L.sl(key)] = np.tile(self._z_ub.data / zs, n_coll_z)
+                else:
+                    o = L.offsets[key]
+                    lb[o:o + n_z] = self._z_lb.data / zs
+                    ub[o:o + n_z] = self._z_ub.data / zs
+            elif kind == "u":
+                lb[L.sl(key)] = self._u_lb.data / us
+                ub[L.sl(key)] = self._u_ub.data / us
+            elif kind == "eps":
+                lb[L.sl(key)] = self._eps_lb
+                ub[L.sl(key)] = self._eps_ub
+        self._lb_opt_x = lb
+        self._ub_opt_x = ub
+
+        # ----- opt_p layout -----
+        self._p_sl = {
+            "x0": slice(0, n_x),
+            "tvp": slice(n_x, n_x + (N + 1) * n_tvp),
+            "p": slice(n_x + (N + 1) * n_tvp,
+                       n_x + (N + 1) * n_tvp + n_comb * n_p),
+            "u_prev": slice(n_x + (N + 1) * n_tvp + n_comb * n_p,
+                            n_x + (N + 1) * n_tvp + n_comb * n_p + n_u),
+        }
+        self.n_opt_p = self._p_sl["u_prev"].stop
+
+        # ----- instance table (k, s, b) in reference loop order -----
+        inst = []
+        for k in range(N):
+            for s in range(nscen[k]):
+                s_u = 0 if st.open_loop else s
+                for b in range(nbr[k]):
+                    c = child[k][s][b]
+                    p_idx = b + boff[k][s]
+                    k_eps = min(k, n_eps_rep - 1)
+                    eps_s = s if n_eps_rep == N else s
+                    inst.append(dict(k=k, s=s, b=b, c=c, s_u=s_u,
+                                     p_idx=p_idx, k_eps=k_eps, eps_s=eps_s))
+        I = len(inst)
+        self.n_instances = I
+
+        def idxmat(keys):
+            return np.stack([L.idx(key) for key in keys])
+
+        A_node = idxmat([("x_node", i["k"], i["s"]) for i in inst])
+        A_node_next = idxmat([("x_node", i["k"] + 1, i["c"]) for i in inst])
+        A_u = idxmat([("u", i["k"], i["s_u"]) for i in inst]) \
+            if n_u else np.zeros((I, 0), int)
+        A_uprev = np.stack([
+            L.idx(("u", i["k"] - 1,
+                   parent[i["k"]][i["s_u"]] if not st.open_loop else 0))
+            if i["k"] > 0 else np.zeros(n_u, int) for i in inst]) \
+            if n_u else np.zeros((I, 0), int)
+        mask_k0 = np.array([i["k"] == 0 for i in inst])
+        A_coll = idxmat([("x_coll", i["k"], i["c"]) for i in inst]) \
+            if n_coll else np.zeros((I, 0), int)
+        A_z_dyn = idxmat([("z", i["k"], i["c"]) for i in inst]) \
+            if n_z else np.zeros((I, 0), int)
+        A_z_cost = (A_z_dyn[:, -n_z:] if n_z else np.zeros((I, 0), int))
+        # nl_cons z: first collocation point of block (k, s)
+        A_z0_nl = idxmat([("z", i["k"], i["s"]) for i in inst])[:, :n_z] \
+            if n_z else np.zeros((I, 0), int)
+        A_coll_s = idxmat([("x_coll", i["k"], i["s"]) for i in inst]) \
+            if (n_coll and self.n_nl_cons and st.nl_cons_check_colloc_points) \
+            else np.zeros((I, 0), int)
+        A_eps = idxmat([("eps", i["k_eps"], i["eps_s"]) for i in inst]) \
+            if nev else np.zeros((I, 0), int)
+        tvp_base = self._p_sl["tvp"].start
+        A_tvp = np.stack([tvp_base + i["k"] * n_tvp + np.arange(n_tvp)
+                          for i in inst]).astype(int)
+        tvpN_idx = tvp_base + N * n_tvp + np.arange(n_tvp)
+        p_base = self._p_sl["p"].start
+        A_p = np.stack([p_base + i["p_idx"] * n_p + np.arange(n_p)
+                        for i in inst]).astype(int)
+        omega = np.array([1.0 / nscen[i["k"] + 1] for i in inst])
+        term_mask = np.array([i["k"] == N - 1 for i in inst])
+        A_term_node = np.stack([
+            L.idx(("x_node", N, i["s"])) if i["k"] == N - 1
+            else np.zeros(n_x, int) for i in inst])
+
+        self._inst_arrays = dict(
+            A_node=A_node, A_node_next=A_node_next, A_u=A_u,
+            A_uprev=A_uprev, mask_k0=mask_k0, A_coll=A_coll,
+            A_z_dyn=A_z_dyn, A_z_cost=A_z_cost, A_z0_nl=A_z0_nl,
+            A_coll_s=A_coll_s, A_eps=A_eps, A_tvp=A_tvp, tvpN_idx=tvpN_idx,
+            A_p=A_p, omega=omega, term_mask=term_mask,
+            A_term_node=A_term_node)
+
+        self._build_nlp_functions()
+
+    def _build_nlp_functions(self):
+        st = self.settings
+        model = self.model
+        n_x, n_u, n_z = model.n_x, model.n_u, model.n_z
+        n_coll = self.n_total_coll_points
+        nev = self.n_eps_vars
+        L = self.layout
+        ia = {k: jnp.asarray(v) for k, v in self._inst_arrays.items()}
+        xs = jnp.asarray(self._x_scaling.data)
+        us = jnp.asarray(self._u_scaling.data)
+        zs = jnp.asarray(self._z_scaling.data)
+        psl = self._p_sl
+        node00 = jnp.asarray(L.idx(("x_node", 0, 0)))
+        lterm, mterm = self._lterm, self._mterm
+        rterm_sym = self._rterm_fun_sym
+        rfac = jnp.asarray(self.rterm_factor.data)
+        epsterm = self._epsterm_fun
+        nl_cons_fun = self._nl_cons_fun
+        stage_g = self._stage_g
+        discrete = model.model_type == "discrete"
+
+        def env_eval(expr, x, u, z, tvp, p, u_prev=None):
+            env = model._env(x, u, z, tvp, p)
+            if u_prev is not None:
+                env["_u_prev"] = model.spec("_u").unpack(u_prev, xp=jnp)
+            return jnp.asarray(expr(env)).reshape(())
+
+        def f(w, pvec):
+            Xn = w[ia["A_node"]] * xs
+            U = w[ia["A_u"]]
+            Uun = U * us
+            Zc = w[ia["A_z_cost"]] * zs
+            TVP = pvec[ia["A_tvp"]]
+            P = pvec[ia["A_p"]]
+            om = jnp.asarray(ia["omega"], w.dtype)
+
+            lt = jax.vmap(lambda x, u, z, tvp, p:
+                          env_eval(lterm, x, u, z, tvp, p))(Xn, Uun, Zc, TVP, P)
+            obj = jnp.sum(om * lt)
+
+            Xterm = w[ia["A_term_node"]] * xs
+            tvpN = pvec[ia["tvpN_idx"]]
+            mt = jax.vmap(lambda x, p: env_eval(
+                mterm, x, jnp.zeros((n_u,), w.dtype),
+                jnp.zeros((n_z,), w.dtype), tvpN, p))(Xterm, P)
+            obj = obj + jnp.sum(jnp.where(ia["term_mask"], om * mt, 0.0))
+
+            if n_u:
+                uprev_sc = jnp.where(
+                    ia["mask_k0"][:, None],
+                    (pvec[psl["u_prev"]] / us)[None, :],
+                    w[ia["A_uprev"]])
+                if rterm_sym is not None:
+                    rt = jax.vmap(lambda x, u, up, z, tvp, p: env_eval(
+                        rterm_sym, x, u, z, tvp, p, u_prev=up))(
+                        Xn, Uun, uprev_sc, Zc, TVP, P)
+                else:
+                    rt = jnp.sum(rfac * (U - uprev_sc) ** 2, axis=1)
+                obj = obj + jnp.sum(om * rt)
+
+            if nev:
+                obj = obj + jnp.sum(jax.vmap(epsterm)(w[ia["A_eps"]]))
+            return obj
+
+        def g(w, pvec):
+            parts = [w[node00] - pvec[psl["x0"]] / xs]
+            Xk0 = w[ia["A_node"]]
+            U = w[ia["A_u"]]
+            Zd = w[ia["A_z_dyn"]]
+            TVP = pvec[ia["A_tvp"]]
+            P = pvec[ia["A_p"]]
+            wz = jnp.zeros((model.n_w,), w.dtype)
+            if discrete:
+                def one(xk0, u, z, tvp, p):
+                    alg, x_next = stage_g(xk0, jnp.zeros((0,), w.dtype), u, z,
+                                          tvp, p, wz)
+                    return alg, x_next
+                alg, x_next = jax.vmap(one)(Xk0, U, Zd, TVP, P)
+                parts.append(alg.reshape(-1))
+                parts.append((x_next - w[ia["A_node_next"]]).reshape(-1))
+            else:
+                Coll = w[ia["A_coll"]]
+                res = jax.vmap(lambda xk0, coll, u, z, tvp, p:
+                               stage_g(xk0, coll, u, z, tvp, p, wz))(
+                    Xk0, Coll, U, Zd, TVP, P)
+                parts.append(res.reshape(-1))
+                cont = Coll[:, -n_x:] - w[ia["A_node_next"]]
+                parts.append(cont.reshape(-1))
+            return jnp.concatenate(parts)
+
+        n_nl = self.n_nl_cons
+
+        def h(w, pvec):
+            if n_nl == 0:
+                return jnp.zeros((0,), w.dtype)
+            U = w[ia["A_u"]] * us
+            TVP = pvec[ia["A_tvp"]]
+            P = pvec[ia["A_p"]]
+            EPS = w[ia["A_eps"]] if nev else jnp.zeros(
+                (self.n_instances, 0), w.dtype)
+            if st.nl_cons_check_colloc_points and n_coll:
+                outs = []
+                CollS = w[ia["A_coll_s"]]
+                ZS = w[jnp.asarray(self._inst_arrays["A_z_dyn"])] \
+                    if n_z else None
+                for i in range(n_coll):
+                    Xi = CollS[:, i * n_x:(i + 1) * n_x] * xs
+                    Zi = (w[jnp.asarray(
+                        self._inst_arrays["A_z_dyn"][:, i * n_z:(i + 1) * n_z]
+                    )] * zs if n_z else jnp.zeros((self.n_instances, 0),
+                                                  w.dtype))
+                    outs.append(jax.vmap(nl_cons_fun)(Xi, U, Zi, TVP, P, EPS))
+                return jnp.concatenate([o.reshape(-1) for o in outs])
+            Xn = w[ia["A_node"]] * xs
+            Z0 = w[ia["A_z0_nl"]] * zs if n_z else jnp.zeros(
+                (self.n_instances, 0), w.dtype)
+            res = jax.vmap(nl_cons_fun)(Xn, U, Z0, TVP, P, EPS)
+            return res.reshape(-1)
+
+        self._f_fn, self._g_fn, self._h_fn = f, g, h
+
+        # sizes
+        p_dummy = jnp.zeros((self.n_opt_p,))
+        w_dummy = jnp.zeros((L.size,))
+        self.n_opt_lagr = int(jax.eval_shape(g, w_dummy, p_dummy).shape[0])
+        self._n_ineq = int(jax.eval_shape(h, w_dummy, p_dummy).shape[0])
+        self.n_eps = nev * sum(
+            1 for key in L.offsets if key[0] == "eps")
+
+    def _create_solver(self):
+        st = self.settings
+        ipm_settings = IPMSettings(tol=st.solver_tol,
+                                   max_iter=st.solver_max_iter)
+        solve = make_ipm_solver(
+            self._f_fn, self._g_fn, self._h_fn,
+            self._lb_opt_x, self._ub_opt_x,
+            self.n_opt_lagr, self._n_ineq, settings=ipm_settings)
+        self._solve_raw = solve
+        self._solve_jit = jax.jit(solve)
+        self.opt_x_num = np.zeros(self.n_opt_x)
+        self.opt_p_num = np.zeros(self.n_opt_p)
+        self.lam_g_num = np.zeros(self.n_opt_lagr + self._n_ineq)
+
+    def _prepare_data(self):
+        """Reference: optimizer.py:448-481."""
+        self.data.data_fields.update({"_eps": self.n_eps})
+        self.data.data_fields.update({"opt_p_num": self.n_opt_p})
+        if self.settings.store_full_solution:
+            self.data.data_fields.update({"_opt_x_num": self.n_opt_x})
+            self.data._pred_layout = _PredictionLayout(self)
+        if self.settings.store_lagr_multiplier:
+            self.data.data_fields.update(
+                {"_lam_g_num": self.n_opt_lagr + self._n_ineq})
+        for stat in self.settings.store_solver_stats:
+            self.data.data_fields.update({stat: 1})
+        meta = {k: getattr(self.settings, k)
+                for k in ("n_horizon", "n_robust", "open_loop", "t_step",
+                          "state_discretization", "collocation_type",
+                          "collocation_deg", "collocation_ni",
+                          "store_full_solution")}
+        meta["structure_scenario"] = self.scenario_tree["structure_scenario"]
+        self.data.set_meta(**meta)
+        self.data.init_storage()
+
+    # ------------------------------------------------------------ runtime --
+    def set_initial_guess(self):
+        """Broadcast x0/u0/z0 into the decision vector
+        (reference: _mpc.py:955)."""
+        assert self.flags["setup"], "MPC was not setup yet."
+        L = self.layout
+        w = self.opt_x_num
+        x0s = self._x0.data / self._x_scaling.data
+        u0s = self._u0.data / self._u_scaling.data
+        z0s = (self._z0.data / self._z_scaling.data if self.model.n_z
+               else np.zeros(0))
+        n_coll_z = max(self.n_total_coll_points, 1)
+        for key in L.offsets:
+            kind = key[0]
+            if kind == "x_node":
+                w[L.sl(key)] = x0s
+            elif kind == "x_coll":
+                w[L.sl(key)] = np.tile(x0s, self.n_total_coll_points)
+            elif kind == "u":
+                w[L.sl(key)] = u0s
+            elif kind == "z":
+                w[L.sl(key)] = np.tile(z0s, n_coll_z)
+            elif kind == "eps":
+                w[L.sl(key)] = 0.0
+        self.flags["set_initial_guess"] = True
+
+    def _assemble_opt_p(self, x0):
+        pvec = np.zeros(self.n_opt_p)
+        pvec[self._p_sl["x0"]] = np.asarray(x0, dtype=float).reshape(-1)
+        if self.model.n_tvp:
+            pvec[self._p_sl["tvp"]] = self._eval_tvp(self._t0).reshape(-1)
+        if self.model.n_p:
+            p0 = self.p_fun(float(self._t0[0]))
+            arr = p0.array() if hasattr(p0, "array") else np.asarray(p0)
+            pvec[self._p_sl["p"]] = arr.reshape(-1)
+        pvec[self._p_sl["u_prev"]] = self._u0.data
+        return pvec
+
+    def solve(self):
+        """Solve with the current ``opt_p_num`` (reference:
+        optimizer.py:731-787).  Warm-starts from the previous solution."""
+        assert self.flags["setup"], "MPC was not setup yet."
+        t_start = _time.perf_counter()
+        if self.flags["initial_run"]:
+            sol = self._solve_jit(
+                jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num),
+                jnp.asarray(self._lam_warm),
+                jnp.asarray(self.settings.warm_start_mu))
+        else:
+            sol = self._solve_jit(
+                jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
+        w = np.asarray(sol.w)
+        self.opt_x_num = w
+        self.opt_x_num_unscaled = w * self.opt_x_scaling
+        self._lam_warm = np.asarray(sol.lam)
+        self.lam_g_num = np.asarray(sol.lam)
+        t_wall = _time.perf_counter() - t_start
+        self.solver_stats = {
+            "success": bool(sol.success),
+            "iter_count": int(sol.iterations),
+            "t_wall_total": t_wall,
+            "return_status": "Solve_Succeeded" if bool(sol.success)
+            else "Maximum_Iterations_Exceeded",
+            "kkt_err": float(sol.kkt_err),
+        }
+        self.flags["initial_run"] = True
+
+    def make_step(self, x0) -> np.ndarray:
+        """One closed-loop control step (reference: _mpc.py:975-1059)."""
+        assert self.flags["setup"], "MPC was not setup yet."
+        x0 = np.asarray(x0, dtype=float).reshape(-1)
+        assert x0.size == self.model.n_x
+        if not self.flags["set_initial_guess"]:
+            warnings.warn("Initial guess for the MPC was not set.")
+            self.flags["set_initial_guess"] = True
+
+        self.opt_p_num = self._assemble_opt_p(x0)
+        self.solve()
+
+        L = self.layout
+        us = self._u_scaling.data
+        u0 = self.opt_x_num[L.sl(("u", 0, 0))] * us
+        if self.model.n_z:
+            z0 = self.opt_x_num[L.idx(("z", 0, 0))[:self.model.n_z]] \
+                * self._z_scaling.data
+        else:
+            z0 = np.zeros(0)
+        # aux at (k=0, s=0) like the reference (_mpc.py:1027)
+        x00 = self.opt_x_num[L.sl(("x_node", 0, 0))] * self._x_scaling.data
+        tvp0 = self.opt_p_num[self._p_sl["tvp"]][:self.model.n_tvp]
+        p0 = self.opt_p_num[self._p_sl["p"]][:self.model.n_p]
+        zlast = (self.opt_x_num[L.idx(("z", 0, 0))[-self.model.n_z:]]
+                 * self._z_scaling.data if self.model.n_z else np.zeros(0))
+        aux0 = np.asarray(self.model._aux_expression_fun(
+            x00, u0, zlast, tvp0, p0))
+
+        self.data.update(_x=x0)
+        self.data.update(_u=u0)
+        self.data.update(_z=z0)
+        self.data.update(_tvp=tvp0)
+        self.data.update(_p=p0)
+        self.data.update(_time=self._t0)
+        self.data.update(_aux=aux0)
+        self.data.update(opt_p_num=self.opt_p_num)
+        if self.settings.store_full_solution:
+            self.data.update(_opt_x_num=self.opt_x_num_unscaled)
+        if self.settings.store_lagr_multiplier:
+            self.data.update(_lam_g_num=self.lam_g_num)
+        stats_row = {k: v for k, v in self.solver_stats.items()
+                     if k in self.settings.store_solver_stats}
+        if stats_row:
+            self.data.update(**{k: float(v) for k, v in stats_row.items()})
+
+        self._t0 = self._t0 + self.settings.t_step
+        self._x0.data[:] = x0
+        self._u0.data[:] = u0
+        self._z0.data[:] = z0 if self.model.n_z else self._z0.data
+        return u0.reshape(-1, 1)
+
+
+class _PredictionLayout:
+    """Reconstructs prediction trajectories from the flat solution
+    (reference: data.py:246-372)."""
+
+    def __init__(self, mpc):
+        self.layout = mpc.layout
+        self.N = mpc.settings.n_horizon
+        self.tree = mpc.scenario_tree
+        self.model_specs = {vt: mpc.model.spec(vt) for vt in
+                            ("_x", "_u", "_z")}
+        self.open_loop = mpc.settings.open_loop
+        self.n_coll = mpc.n_total_coll_points
+
+    def extract(self, w, field, name, elem=None):
+        L = self.layout
+        tree = self.tree
+        n_max = tree["n_scenarios"][-1]
+        struct = tree["structure_scenario"]
+        spec = self.model_specs[field]
+        sl = spec.slice(name)
+        cols = []
+        if field == "_x":
+            for scol in range(n_max):
+                traj = [w[L.sl(("x_node", k, struct[k][scol]))][sl]
+                        for k in range(self.N + 1)]
+                cols.append(np.stack(traj))
+        elif field == "_u":
+            for scol in range(n_max):
+                traj = [w[L.sl(("u", k, 0 if self.open_loop
+                                else struct[k][scol]))][sl]
+                        for k in range(self.N)]
+                cols.append(np.stack(traj))
+        elif field == "_z":
+            nz = spec.size
+            for scol in range(n_max):
+                traj = [w[L.idx(("z", k, struct[k + 1][scol]))[-nz:]][sl]
+                        for k in range(self.N)]
+                cols.append(np.stack(traj))
+        out = np.stack(cols, axis=-1)  # (horizon, n_elem, n_scen)
+        out = np.moveaxis(out, 1, 0)   # (n_elem, horizon, n_scen)
+        if elem is not None:
+            out = out[np.asarray(elem).reshape(-1)]
+        return out

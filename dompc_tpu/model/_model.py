@@ -202,6 +202,13 @@ class Model:
             if self._rhs_has_noise[name]:
                 self._specs["_w"].add(name, xs.shapes[name])
 
+        # default state feedback: all states become measurements if set_meas
+        # was never called (reference: model/_model.py:942-955)
+        if not self._meas:
+            for name in xs.names:
+                self._meas[name] = casym.var("_x", name)
+                self._meas_has_noise[name] = True
+
         # measurement noise spec and _y spec
         for mname, expr in self._meas.items():
             shape = self._expr_shape(expr)
