@@ -312,6 +312,7 @@ class MPC(Optimizer, IteratedVariables):
                                      p_idx=p_idx, k_eps=k_eps, eps_s=eps_s))
         I = len(inst)
         self.n_instances = I
+        self._instances = inst
 
         def idxmat(keys):
             return np.stack([L.idx(key) for key in keys])
@@ -363,18 +364,33 @@ class MPC(Optimizer, IteratedVariables):
         self._build_nlp_functions()
 
     def _build_nlp_functions(self):
+        """Assemble the NLP callbacks with *instance-local* autodiff.
+
+        Every (stage, scenario, branch) instance touches only a small
+        variable vector v_i gathered from the flat decision vector; cost,
+        constraints and ALL derivatives (gradient, Jacobians, Lagrangian
+        Hessian) are computed per instance by vmapped small-tensor autodiff
+        and scatter-added into the global arrays.  This keeps AD graphs tiny
+        (compile time O(1) in horizon) and maps the work onto batched small
+        dense ops — the TPU-friendly replacement for both CasADi's symbolic
+        NLP derivatives and IPOPT's sparse triplet assembly.
+        """
         st = self.settings
         model = self.model
         n_x, n_u, n_z = model.n_x, model.n_u, model.n_z
         n_coll = self.n_total_coll_points
+        n_coll_z = max(n_coll, 1) if n_z else 0
         nev = self.n_eps_vars
+        n_nl = self.n_nl_cons
+        I = self.n_instances
         L = self.layout
-        ia = {k: jnp.asarray(v) for k, v in self._inst_arrays.items()}
+        n = L.size
+        ia = self._inst_arrays
         xs = jnp.asarray(self._x_scaling.data)
         us = jnp.asarray(self._u_scaling.data)
         zs = jnp.asarray(self._z_scaling.data)
         psl = self._p_sl
-        node00 = jnp.asarray(L.idx(("x_node", 0, 0)))
+        node00 = L.idx(("x_node", 0, 0))
         lterm, mterm = self._lterm, self._mterm
         rterm_sym = self._rterm_fun_sym
         rfac = jnp.asarray(self.rterm_factor.data)
@@ -382,6 +398,62 @@ class MPC(Optimizer, IteratedVariables):
         nl_cons_fun = self._nl_cons_fun
         stage_g = self._stage_g
         discrete = model.model_type == "discrete"
+        check_colloc = st.nl_cons_check_colloc_points and n_coll > 0
+
+        # ---- per-instance variable vector v: segment layout ----
+        seg_defs = [
+            ("xk0", n_x), ("coll", n_coll * n_x), ("u", n_u),
+            ("z", n_coll_z * n_z), ("uprev", n_u), ("eps", nev),
+            ("node_next", n_x), ("term", n_x),
+            ("coll_s", n_coll * n_x if (check_colloc and n_nl) else 0),
+            ("z_s", n_coll_z * n_z if n_nl else 0),
+        ]
+        seg_sl = {}
+        off = 0
+        for name, size in seg_defs:
+            seg_sl[name] = slice(off, off + size)
+            off += size
+        d = off
+        self._inst_dim = d
+
+        # extended vector e = [w, u_prev_from_pvec(scaled), dummy]; columns
+        # >= n are parameters/dummies and are dropped at scatter time
+        uprev_pvec_cols = n + np.arange(n_u)
+        dummy_col = n + n_u
+        n_ext = n + n_u + 1
+
+        A_all = np.zeros((I, d), dtype=int)
+        A_all[:, seg_sl["xk0"]] = ia["A_node"]
+        if n_coll:
+            A_all[:, seg_sl["coll"]] = ia["A_coll"]
+        if n_u:
+            A_all[:, seg_sl["u"]] = ia["A_u"]
+            A_all[:, seg_sl["uprev"]] = np.where(
+                ia["mask_k0"][:, None], uprev_pvec_cols[None, :],
+                ia["A_uprev"])
+        if n_z:
+            A_all[:, seg_sl["z"]] = ia["A_z_dyn"]
+        if nev:
+            A_all[:, seg_sl["eps"]] = ia["A_eps"]
+        A_all[:, seg_sl["node_next"]] = ia["A_node_next"]
+        A_all[:, seg_sl["term"]] = np.where(
+            ia["term_mask"][:, None], ia["A_term_node"], dummy_col)
+        if check_colloc and n_nl:
+            A_all[:, seg_sl["coll_s"]] = ia["A_coll_s"]
+        if n_nl and n_z:
+            A_all[:, seg_sl["z_s"]] = _idx_zs = np.stack(
+                [L.idx(("z", i["k"], i["s"])) for i in self._instances])
+        A_all_j = jnp.asarray(A_all)
+        self._A_all = A_all
+
+        TVP = jnp.asarray(ia["A_tvp"])      # index matrices into pvec
+        PIDX = jnp.asarray(ia["A_p"])
+        tvpN_idx = jnp.asarray(ia["tvpN_idx"])
+        omega = jnp.asarray(ia["omega"])
+        term_mask_f = jnp.asarray(ia["term_mask"].astype(float))
+
+        def seg(v, name):
+            return v[seg_sl[name]]
 
         def env_eval(expr, x, u, z, tvp, p, u_prev=None):
             env = model._env(x, u, z, tvp, p)
@@ -389,116 +461,213 @@ class MPC(Optimizer, IteratedVariables):
                 env["_u_prev"] = model.spec("_u").unpack(u_prev, xp=jnp)
             return jnp.asarray(expr(env)).reshape(())
 
-        def f(w, pvec):
-            Xn = w[ia["A_node"]] * xs
-            U = w[ia["A_u"]]
-            Uun = U * us
-            Zc = w[ia["A_z_cost"]] * zs
-            TVP = pvec[ia["A_tvp"]]
-            P = pvec[ia["A_p"]]
-            om = jnp.asarray(ia["omega"], w.dtype)
-
-            lt = jax.vmap(lambda x, u, z, tvp, p:
-                          env_eval(lterm, x, u, z, tvp, p))(Xn, Uun, Zc, TVP, P)
-            obj = jnp.sum(om * lt)
-
-            Xterm = w[ia["A_term_node"]] * xs
-            tvpN = pvec[ia["tvpN_idx"]]
-            mt = jax.vmap(lambda x, p: env_eval(
-                mterm, x, jnp.zeros((n_u,), w.dtype),
-                jnp.zeros((n_z,), w.dtype), tvpN, p))(Xterm, P)
-            obj = obj + jnp.sum(jnp.where(ia["term_mask"], om * mt, 0.0))
-
+        # ---- per-instance scalar objective ----
+        def obj_i(v, tvp, tvpN, p, om, tmask):
+            x_un = seg(v, "xk0") * xs
+            u_sc = seg(v, "u")
+            u_un = u_sc * us
+            zblk = seg(v, "z")
+            z_cost = (zblk[-n_z:] * zs if n_z
+                      else jnp.zeros((0,), v.dtype))
+            val = om * env_eval(lterm, x_un, u_un, z_cost, tvp, p)
+            val = val + tmask * om * env_eval(
+                mterm, seg(v, "term") * xs, jnp.zeros((n_u,), v.dtype),
+                jnp.zeros((n_z,), v.dtype), tvpN, p)
             if n_u:
-                uprev_sc = jnp.where(
-                    ia["mask_k0"][:, None],
-                    (pvec[psl["u_prev"]] / us)[None, :],
-                    w[ia["A_uprev"]])
+                uprev_sc = seg(v, "uprev")
                 if rterm_sym is not None:
-                    rt = jax.vmap(lambda x, u, up, z, tvp, p: env_eval(
-                        rterm_sym, x, u, z, tvp, p, u_prev=up))(
-                        Xn, Uun, uprev_sc, Zc, TVP, P)
+                    val = val + om * env_eval(rterm_sym, x_un, u_un, z_cost,
+                                              tvp, p, u_prev=uprev_sc)
                 else:
-                    rt = jnp.sum(rfac * (U - uprev_sc) ** 2, axis=1)
-                obj = obj + jnp.sum(om * rt)
-
+                    val = val + om * jnp.sum(rfac * (u_sc - uprev_sc) ** 2)
             if nev:
-                obj = obj + jnp.sum(jax.vmap(epsterm)(w[ia["A_eps"]]))
-            return obj
+                val = val + epsterm(seg(v, "eps"))
+            return val
 
-        def g(w, pvec):
-            parts = [w[node00] - pvec[psl["x0"]] / xs]
-            Xk0 = w[ia["A_node"]]
-            U = w[ia["A_u"]]
-            Zd = w[ia["A_z_dyn"]]
-            TVP = pvec[ia["A_tvp"]]
-            P = pvec[ia["A_p"]]
-            wz = jnp.zeros((model.n_w,), w.dtype)
+        # ---- per-instance equality residual ----
+        wnoise = jnp.zeros((model.n_w,))
+
+        def g_i(v, tvp, p):
+            xk0 = seg(v, "xk0")
+            u = seg(v, "u")
+            z = seg(v, "z")
             if discrete:
-                def one(xk0, u, z, tvp, p):
-                    alg, x_next = stage_g(xk0, jnp.zeros((0,), w.dtype), u, z,
-                                          tvp, p, wz)
-                    return alg, x_next
-                alg, x_next = jax.vmap(one)(Xk0, U, Zd, TVP, P)
-                parts.append(alg.reshape(-1))
-                parts.append((x_next - w[ia["A_node_next"]]).reshape(-1))
-            else:
-                Coll = w[ia["A_coll"]]
-                res = jax.vmap(lambda xk0, coll, u, z, tvp, p:
-                               stage_g(xk0, coll, u, z, tvp, p, wz))(
-                    Xk0, Coll, U, Zd, TVP, P)
-                parts.append(res.reshape(-1))
-                cont = Coll[:, -n_x:] - w[ia["A_node_next"]]
-                parts.append(cont.reshape(-1))
+                alg, x_pred = stage_g(xk0, jnp.zeros((0,), v.dtype), u, z,
+                                      tvp, p, wnoise)
+                return jnp.concatenate([alg, x_pred - seg(v, "node_next")])
+            coll = seg(v, "coll")
+            res = stage_g(xk0, coll, u, z, tvp, p, wnoise)
+            return jnp.concatenate([res, coll[-n_x:] - seg(v, "node_next")])
+
+        # ---- per-instance inequality residual ----
+        def h_i(v, tvp, p):
+            eps = seg(v, "eps") if nev else jnp.zeros((0,), v.dtype)
+            u_un = seg(v, "u") * us
+            if check_colloc:
+                outs = []
+                coll_s = seg(v, "coll_s")
+                z_s = seg(v, "z_s")
+                for i in range(n_coll):
+                    xi = coll_s[i * n_x:(i + 1) * n_x] * xs
+                    zi = (z_s[i * n_z:(i + 1) * n_z] * zs if n_z
+                          else jnp.zeros((0,), v.dtype))
+                    outs.append(nl_cons_fun(xi, u_un, zi, tvp, p, eps))
+                return jnp.concatenate(outs)
+            x_un = seg(v, "xk0") * xs
+            z0 = (seg(v, "z_s")[:n_z] * zs if n_z
+                  else jnp.zeros((0,), v.dtype))
+            return nl_cons_fun(x_un, u_un, z0, tvp, p, eps)
+
+        # instance row counts
+        E = int(jax.eval_shape(
+            g_i, jnp.zeros(d), jnp.zeros(model.n_tvp),
+            jnp.zeros(model.n_p)).shape[0])
+        nlr = int(jax.eval_shape(
+            h_i, jnp.zeros(d), jnp.zeros(model.n_tvp),
+            jnp.zeros(model.n_p)).shape[0]) if n_nl else 0
+        m_eq = n_x + I * E
+        q_ineq = I * nlr
+        R_g = (n_x + np.arange(I)[:, None] * E + np.arange(E)[None, :])
+        R_h = (np.arange(I)[:, None] * nlr + np.arange(nlr)[None, :]) \
+            if nlr else np.zeros((I, 0), int)
+        R_g_j = jnp.asarray(R_g)
+        R_h_j = jnp.asarray(R_h)
+
+        def ext(w, pvec):
+            parts = [w]
+            if n_u:
+                parts.append(pvec[psl["u_prev"]] / us)
+            parts.append(jnp.zeros((1,), w.dtype))
             return jnp.concatenate(parts)
 
-        n_nl = self.n_nl_cons
+        def gather(w, pvec):
+            e = ext(w, pvec)
+            V = e[A_all_j]
+            return V, pvec[TVP], pvec[tvpN_idx], pvec[PIDX]
+
+        node00_j = jnp.asarray(node00)
+
+        # ---- value functions ----
+        def f(w, pvec):
+            V, tvp, tvpN, p = gather(w, pvec)
+            vals = jax.vmap(obj_i, in_axes=(0, 0, None, 0, 0, 0))(
+                V, tvp, tvpN, p, omega, term_mask_f)
+            return jnp.sum(vals)
+
+        def g(w, pvec):
+            V, tvp, tvpN, p = gather(w, pvec)
+            init = w[node00_j] - pvec[psl["x0"]] / xs
+            res = jax.vmap(g_i)(V, tvp, p)
+            return jnp.concatenate([init, res.reshape(-1)])
 
         def h(w, pvec):
-            if n_nl == 0:
+            if q_ineq == 0:
                 return jnp.zeros((0,), w.dtype)
-            U = w[ia["A_u"]] * us
-            TVP = pvec[ia["A_tvp"]]
-            P = pvec[ia["A_p"]]
-            EPS = w[ia["A_eps"]] if nev else jnp.zeros(
-                (self.n_instances, 0), w.dtype)
-            if st.nl_cons_check_colloc_points and n_coll:
-                outs = []
-                CollS = w[ia["A_coll_s"]]
-                ZS = w[jnp.asarray(self._inst_arrays["A_z_dyn"])] \
-                    if n_z else None
-                for i in range(n_coll):
-                    Xi = CollS[:, i * n_x:(i + 1) * n_x] * xs
-                    Zi = (w[jnp.asarray(
-                        self._inst_arrays["A_z_dyn"][:, i * n_z:(i + 1) * n_z]
-                    )] * zs if n_z else jnp.zeros((self.n_instances, 0),
-                                                  w.dtype))
-                    outs.append(jax.vmap(nl_cons_fun)(Xi, U, Zi, TVP, P, EPS))
-                return jnp.concatenate([o.reshape(-1) for o in outs])
-            Xn = w[ia["A_node"]] * xs
-            Z0 = w[ia["A_z0_nl"]] * zs if n_z else jnp.zeros(
-                (self.n_instances, 0), w.dtype)
-            res = jax.vmap(nl_cons_fun)(Xn, U, Z0, TVP, P, EPS)
+            V, tvp, tvpN, p = gather(w, pvec)
+            res = jax.vmap(h_i)(V, tvp, p)
             return res.reshape(-1)
 
+        # ---- derivative oracles (instance-local AD + scatter) ----
+        d_obj = jax.grad(obj_i)
+        d_g = jax.jacfwd(g_i)
+        d_h = jax.jacfwd(h_i) if nlr else None
+
+        def grad_f(w, pvec):
+            V, tvp, tvpN, p = gather(w, pvec)
+            G = jax.vmap(d_obj, in_axes=(0, 0, None, 0, 0, 0))(
+                V, tvp, tvpN, p, omega, term_mask_f)
+            out = jnp.zeros((n_ext,), w.dtype).at[A_all_j.reshape(-1)].add(
+                G.reshape(-1))
+            return out[:n]
+
+        eye_init = jnp.eye(n_x)
+
+        def jac_g(w, pvec):
+            V, tvp, tvpN, p = gather(w, pvec)
+            Ji = jax.vmap(d_g)(V, tvp, p)           # (I, E, d)
+            J = jnp.zeros((m_eq, n_ext), w.dtype)
+            J = J.at[:n_x, :].set(jnp.zeros((n_x, n_ext), w.dtype)
+                                  .at[jnp.arange(n_x), node00_j].set(1.0))
+            J = J.at[R_g_j[:, :, None], A_all_j[:, None, :]].add(Ji)
+            return J[:, :n]
+
+        def jac_h(w, pvec):
+            V, tvp, tvpN, p = gather(w, pvec)
+            Ji = jax.vmap(d_h)(V, tvp, p)           # (I, nlr, d)
+            J = jnp.zeros((q_ineq, n_ext), w.dtype)
+            J = J.at[R_h_j[:, :, None], A_all_j[:, None, :]].add(Ji)
+            return J[:, :n]
+
+        def lag_i(v, tvp, tvpN, p, om, tmask, lam_gi, lam_hi):
+            val = obj_i(v, tvp, tvpN, p, om, tmask)
+            val = val + jnp.dot(lam_gi, g_i(v, tvp, p))
+            if nlr:
+                val = val + jnp.dot(lam_hi, h_i(v, tvp, p))
+            return val
+
+        d2_lag = jax.hessian(lag_i)
+
+        def hess_fn(w, pvec, lam_g, lam_h):
+            V, tvp, tvpN, p = gather(w, pvec)
+            Lg = lam_g[R_g_j]
+            Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), w.dtype)
+            Hi = jax.vmap(d2_lag, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
+                V, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)  # (I, d, d)
+            H = jnp.zeros((n_ext, n_ext), w.dtype)
+            H = H.at[A_all_j[:, :, None], A_all_j[:, None, :]].add(Hi)
+            return H[:n, :n]
+
         self._f_fn, self._g_fn, self._h_fn = f, g, h
+        self._grad_f_fn, self._jac_g_fn, self._jac_h_fn = (grad_f, jac_g,
+                                                           jac_h)
+        self._hess_fn = hess_fn
+        self._rows_per_inst = E
+        self._nl_rows_per_inst = nlr
 
         # sizes
-        p_dummy = jnp.zeros((self.n_opt_p,))
-        w_dummy = jnp.zeros((L.size,))
-        self.n_opt_lagr = int(jax.eval_shape(g, w_dummy, p_dummy).shape[0])
-        self._n_ineq = int(jax.eval_shape(h, w_dummy, p_dummy).shape[0])
+        self.n_opt_lagr = m_eq
+        self._n_ineq = q_ineq
         self.n_eps = nev * sum(
             1 for key in L.offsets if key[0] == "eps")
+
+        # stage assignment of every KKT row (for the block-tridiagonal
+        # structured factorization, solver/banded.py)
+        w_stage = np.zeros(L.size, int)
+        for key in L.offsets:
+            w_stage[L.sl(key)] = L.stage_of[key]
+        inst_k = np.array([i["k"] for i in self._instances], dtype=int)
+        g_stage = np.concatenate([
+            np.zeros(n_x, int), np.repeat(inst_k, E)])
+        h_stage = np.repeat(inst_k, nlr) if nlr else np.zeros(0, int)
+        self._w_stage, self._g_stage, self._h_stage = (w_stage, g_stage,
+                                                       h_stage)
 
     def _create_solver(self):
         st = self.settings
         ipm_settings = IPMSettings(tol=st.solver_tol,
                                    max_iter=st.solver_max_iter)
+        n_stages = st.n_horizon + 1
+        use_tridiag = (st.kkt_solver == "tridiag"
+                       or (st.kkt_solver == "auto"
+                           and self.n_opt_x > 600 and n_stages >= 4))
+        kkt_solve = None
+        if use_tridiag:
+            from ..solver.banded import (build_stage_permutation,
+                                         make_tridiag_kkt_solver)
+            perm_data = build_stage_permutation(
+                self._w_stage, self._g_stage, self._h_stage, n_stages)
+            kkt_solve = make_tridiag_kkt_solver(
+                perm_data, self.n_opt_x, self.n_opt_lagr, self._n_ineq,
+                delta_cons=ipm_settings.delta_cons)
+            self._kkt_structure = perm_data
         solve = make_ipm_solver(
             self._f_fn, self._g_fn, self._h_fn,
             self._lb_opt_x, self._ub_opt_x,
-            self.n_opt_lagr, self._n_ineq, settings=ipm_settings)
+            self.n_opt_lagr, self._n_ineq, settings=ipm_settings,
+            kkt_solve=kkt_solve, hess_fn=self._hess_fn,
+            grad_f_fn=self._grad_f_fn,
+            jac_g_fn=self._jac_g_fn if self.n_instances else None,
+            jac_h_fn=self._jac_h_fn if self._n_ineq else None)
         self._solve_raw = solve
         self._solve_jit = jax.jit(solve)
         self.opt_x_num = np.zeros(self.n_opt_x)

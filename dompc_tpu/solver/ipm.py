@@ -81,6 +81,9 @@ def make_ipm_solver(
     settings: IPMSettings = IPMSettings(),
     kkt_solve: Optional[Callable] = None,
     hess_fn: Optional[Callable] = None,
+    grad_f_fn: Optional[Callable] = None,
+    jac_g_fn: Optional[Callable] = None,
+    jac_h_fn: Optional[Callable] = None,
 ):
     """Build a single-instance solver ``solve(w0, p, lam0=None) -> IPMSolution``.
 
@@ -99,9 +102,11 @@ def make_ipm_solver(
     has_lb = jnp.isfinite(lb)
     has_ub = jnp.isfinite(ub)
 
-    grad_f = jax.grad(f)
-    jac_g = jax.jacfwd(g) if m else None
-    jac_h = jax.jacfwd(h) if q else None
+    grad_f = grad_f_fn if grad_f_fn is not None else jax.grad(f)
+    jac_g = jac_g_fn if jac_g_fn is not None else (
+        jax.jacfwd(g) if m else None)
+    jac_h = jac_h_fn if jac_h_fn is not None else (
+        jax.jacfwd(h) if q else None)
 
     if hess_fn is None:
         def lagrangian(w, p, lam_g, lam_h):
@@ -231,24 +236,49 @@ def make_ipm_solver(
             Hw, sig_w, Jg, Jh, inv_sig_s, r_dw, r_g, r_h_mod,
             jnp.asarray(0.0, w.dtype))
 
-        # fall back to regularized solve when the step is not finite or not
-        # a descent direction for the barrier problem
-        def need_retry(step):
+        # Retry with escalating primal regularization when the step is bad:
+        # non-finite, wrong curvature, or (critical for the unpivoted
+        # block-tridiagonal path) an inaccurate linear solve.  Regularizing
+        # pushes H+Sigma+delta toward PD, where block elimination is stable.
+        rhs_norm = jnp.maximum(jnp.maximum(
+            jnp.max(jnp.abs(r_dw), initial=0.0),
+            jnp.max(jnp.abs(r_g), initial=0.0)),
+            jnp.max(jnp.abs(r_h_mod), initial=0.0)) + 1.0
+
+        def step_residual(step, delta):
+            dw_, dg_, dh_ = step
+            res_w = (Hw @ dw_ + (sig_w + delta) * dw_ + r_dw
+                     + (Jg.T @ dg_ if m else 0.0)
+                     + (Jh.T @ dh_ if q else 0.0))
+            out = jnp.max(jnp.abs(res_w), initial=0.0)
+            if m:
+                res_g = Jg @ dw_ - st.delta_cons * dg_ + r_g
+                out = jnp.maximum(out, jnp.max(jnp.abs(res_g), initial=0.0))
+            if q:
+                res_h = Jh @ dw_ - inv_sig_s * dh_ - st.delta_cons * dh_ \
+                    + r_h_mod
+                out = jnp.maximum(out, jnp.max(jnp.abs(res_h), initial=0.0))
+            return out
+
+        def need_retry(step, delta):
             dw_, dg_, dh_ = step
             bad = ~jnp.all(jnp.isfinite(dw_)) | ~jnp.all(jnp.isfinite(dg_)) \
                 | ~jnp.all(jnp.isfinite(dh_))
             curv = jnp.dot(dw_, (Hw @ dw_)) + jnp.sum(sig_w * dw_ * dw_)
-            return bad | (curv < -1e-12)
+            inaccurate = step_residual(step, delta) > 1e-6 * rhs_norm
+            return bad | (curv < -1e-12) | inaccurate
 
         def retry(delta):
             return solve_kkt(Hw, sig_w, Jg, Jh, inv_sig_s, r_dw, r_g,
                              r_h_mod, jnp.asarray(delta, w.dtype))
 
         step = (dw, dlam_g, dlam_h)
-        for delta in (st.delta_reg, 1e-4, 1e-2, 1.0, 1e2):
-            bad = need_retry(step)
+        prev_delta = jnp.asarray(0.0, w.dtype)
+        for delta in (st.delta_reg, 1e-4, 1e-2, 1.0, 1e2, 1e4):
+            bad = need_retry(step, prev_delta)
             new_step = jax.lax.cond(bad, lambda: retry(delta), lambda: step)
             step = new_step
+            prev_delta = jnp.where(bad, delta, prev_delta)
         dw, dlam_g, dlam_h = step
 
         ds = -(r_h + Jh @ dw) if q else jnp.zeros((0,), w.dtype)
