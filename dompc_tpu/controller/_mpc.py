@@ -623,6 +623,10 @@ class MPC(Optimizer, IteratedVariables):
         self._hess_fn = hess_fn
         self._rows_per_inst = E
         self._nl_rows_per_inst = nlr
+        self._struct_parts = dict(
+            gather=gather, d_g=d_g, d_h=d_h, d2_lag=d2_lag, R_g_j=R_g_j,
+            R_h_j=R_h_j, omega=omega, term_mask_f=term_mask_f, nlr=nlr,
+            I=I, d=d, R_g=R_g, R_h=R_h)
 
         # sizes
         self.n_opt_lagr = m_eq
@@ -642,6 +646,53 @@ class MPC(Optimizer, IteratedVariables):
         self._w_stage, self._g_stage, self._h_stage = (w_stage, g_stage,
                                                        h_stage)
 
+    def _make_structured_solve(self, delta_cons):
+        """Structured KKT backend: instance-local derivative tensors are
+        scatter-assembled into stage-band blocks and solved by a block-LU
+        sweep (solver/structured.py) — no global matrix is materialized."""
+        from ..solver.structured import (BlockAssembler, band_factor,
+                                         band_solve, band_matvec)
+        sp = self._struct_parts
+        inst_stage = np.array([i["k"] for i in self._instances], int)
+        assembler = BlockAssembler(
+            self._w_stage, self._g_stage, self._h_stage, inst_stage,
+            self._A_all, sp["R_g"], sp["R_h"],
+            self.n_opt_x, self.n_opt_lagr, self._n_ineq,
+            self.layout.idx(("x_node", 0, 0)))
+        self._kkt_structure = assembler
+        gather = sp["gather"]
+        d_g, d_h, d2_lag = sp["d_g"], sp["d_h"], sp["d2_lag"]
+        R_g_j, R_h_j = sp["R_g_j"], sp["R_h_j"]
+        omega, term_mask_f = sp["omega"], sp["term_mask_f"]
+        nlr, I = sp["nlr"], sp["I"]
+        m, q = self.n_opt_lagr, self._n_ineq
+
+        def structured_solve(w, pvec, lam_g, lam_h, sig_w, inv_sig_s,
+                             r_dw, r_g, r_h_mod, delta):
+            V, tvp, tvpN, p = gather(w, pvec)
+            Lg = lam_g[R_g_j]
+            Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), w.dtype)
+            Hi = jax.vmap(d2_lag, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
+                V, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)
+            Jg_i = jax.vmap(d_g)(V, tvp, p)
+            Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
+                    else jnp.zeros((I, 0, sp["d"]), w.dtype))
+            D, U, Lo = assembler.assemble(
+                Hi, Jg_i, Jh_i, sig_w + delta,
+                -delta_cons * jnp.ones((m,), w.dtype),
+                -inv_sig_s - delta_cons)
+            rhs = assembler.pack_rhs(-r_dw, -r_g, -r_h_mod)
+            lu = band_factor(D, U, Lo)
+            x = band_solve(lu, U, Lo, rhs)
+            # iterative refinement recovers accuracy lost by the unpivoted
+            # block elimination on barely-regularized saddle systems
+            for _ in range(3):
+                resid = rhs - band_matvec(D, U, Lo, x)
+                x = x + band_solve(lu, U, Lo, resid)
+            return assembler.unpack_sol(x)
+
+        return structured_solve
+
     def _create_solver(self):
         st = self.settings
         ipm_settings = IPMSettings(tol=st.solver_tol,
@@ -650,24 +701,19 @@ class MPC(Optimizer, IteratedVariables):
         use_tridiag = (st.kkt_solver == "tridiag"
                        or (st.kkt_solver == "auto"
                            and self.n_opt_x > 600 and n_stages >= 4))
-        kkt_solve = None
+        structured_solve = None
         if use_tridiag:
-            from ..solver.banded import (build_stage_permutation,
-                                         make_tridiag_kkt_solver)
-            perm_data = build_stage_permutation(
-                self._w_stage, self._g_stage, self._h_stage, n_stages)
-            kkt_solve = make_tridiag_kkt_solver(
-                perm_data, self.n_opt_x, self.n_opt_lagr, self._n_ineq,
-                delta_cons=ipm_settings.delta_cons)
-            self._kkt_structure = perm_data
+            structured_solve = self._make_structured_solve(
+                ipm_settings.delta_cons)
         solve = make_ipm_solver(
             self._f_fn, self._g_fn, self._h_fn,
             self._lb_opt_x, self._ub_opt_x,
             self.n_opt_lagr, self._n_ineq, settings=ipm_settings,
-            kkt_solve=kkt_solve, hess_fn=self._hess_fn,
+            hess_fn=self._hess_fn,
             grad_f_fn=self._grad_f_fn,
             jac_g_fn=self._jac_g_fn if self.n_instances else None,
-            jac_h_fn=self._jac_h_fn if self._n_ineq else None)
+            jac_h_fn=self._jac_h_fn if self._n_ineq else None,
+            structured_solve=structured_solve)
         self._solve_raw = solve
         self._solve_jit = jax.jit(solve)
         self.opt_x_num = np.zeros(self.n_opt_x)
@@ -742,7 +788,8 @@ class MPC(Optimizer, IteratedVariables):
             sol = self._solve_jit(
                 jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num),
                 jnp.asarray(self._lam_warm),
-                jnp.asarray(self.settings.warm_start_mu))
+                jnp.asarray(self.settings.warm_start_mu),
+                jnp.asarray(self._zl_warm), jnp.asarray(self._zu_warm))
         else:
             sol = self._solve_jit(
                 jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
@@ -750,6 +797,8 @@ class MPC(Optimizer, IteratedVariables):
         self.opt_x_num = w
         self.opt_x_num_unscaled = w * self.opt_x_scaling
         self._lam_warm = np.asarray(sol.lam)
+        self._zl_warm = np.asarray(sol.zl)
+        self._zu_warm = np.asarray(sol.zu)
         self.lam_g_num = np.asarray(sol.lam)
         t_wall = _time.perf_counter() - t_start
         self.solver_stats = {

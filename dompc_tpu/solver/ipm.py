@@ -45,6 +45,7 @@ class IPMSettings:
     delta_reg: float = 1e-8     # base primal regularization
     delta_cons: float = 1e-11   # dual regularization (keeps KKT nonsingular)
     s_max: float = 100.0        # KKT error scaling (IPOPT's s_max)
+    debug: bool = False         # jax.debug.print per-iteration diagnostics
 
 
 class IPMState(NamedTuple):
@@ -57,6 +58,7 @@ class IPMState(NamedTuple):
     it: jnp.ndarray
     converged: jnp.ndarray
     kkt_err: jnp.ndarray
+    prox: jnp.ndarray     # adaptive Levenberg damping (trust-region-like)
 
 
 class IPMSolution(NamedTuple):
@@ -84,6 +86,7 @@ def make_ipm_solver(
     grad_f_fn: Optional[Callable] = None,
     jac_g_fn: Optional[Callable] = None,
     jac_h_fn: Optional[Callable] = None,
+    structured_solve: Optional[Callable] = None,
 ):
     """Build a single-instance solver ``solve(w0, p, lam0=None) -> IPMSolution``.
 
@@ -123,6 +126,28 @@ def make_ipm_solver(
         hv = h(w, p) if q else jnp.zeros((0,), w.dtype)
         return gv, hv
 
+    # Jacobian-vector products (used instead of materialized Jacobians
+    # wherever possible — and exclusively in structured mode)
+    def jgT_mv(w, p, lam):
+        if not m:
+            return jnp.zeros_like(w)
+        return jax.vjp(lambda ww: g(ww, p), w)[1](lam)[0]
+
+    def jhT_mv(w, p, nu):
+        if not q:
+            return jnp.zeros_like(w)
+        return jax.vjp(lambda ww: h(ww, p), w)[1](nu)[0]
+
+    def jg_mv(w, p, dx):
+        if not m:
+            return jnp.zeros((0,), w.dtype)
+        return jax.jvp(lambda ww: g(ww, p), (w,), (dx,))[1]
+
+    def jh_mv(w, p, dx):
+        if not q:
+            return jnp.zeros((0,), w.dtype)
+        return jax.jvp(lambda ww: h(ww, p), (w,), (dx,))[1]
+
     # -- barrier helpers over the combined (w bounds, s >= 0) --------------
     def dist_l(w, s):
         dl_w = jnp.where(has_lb, w - lb, 1.0)
@@ -152,11 +177,7 @@ def make_ipm_solver(
         gf = grad_f(w, p)
         lam_g = lam[:m]
         lam_h = lam[m:]
-        r_dw = gf
-        if m:
-            r_dw = r_dw + jac_g(w, p).T @ lam_g
-        if q:
-            r_dw = r_dw + jac_h(w, p).T @ lam_h
+        r_dw = gf + jgT_mv(w, p, lam_g) + jhT_mv(w, p, lam_h)
         r_dw = r_dw - jnp.where(has_lb, zl[:n], 0.0) \
                     + jnp.where(has_ub, zu[:n], 0.0)
         r_ds = (lam_h - zl[n:]) if q else jnp.zeros((0,), w.dtype)
@@ -180,6 +201,11 @@ def make_ipm_solver(
         err_p = jnp.max(jnp.abs(r_p)) if (m + q) else jnp.asarray(0.0)
         err_c = jnp.maximum(jnp.max(jnp.abs(c_l), initial=0.0),
                             jnp.max(jnp.abs(c_u), initial=0.0)) / s_c
+        if st.debug:
+            jax.debug.print(
+                "    kkt(mu={mu:.1e}): d={d:.2e}@{di} p={pp:.2e} c={c:.2e}",
+                mu=mu, d=err_d, di=jnp.argmax(jnp.abs(r_dw)), pp=err_p,
+                c=err_c)
         return jnp.maximum(jnp.maximum(err_d, err_p), err_c)
 
     # -- dense KKT solve ---------------------------------------------------
@@ -203,13 +229,10 @@ def make_ipm_solver(
     solve_kkt = kkt_solve if kkt_solve is not None else dense_kkt
 
     # -- one Newton iteration at fixed mu ----------------------------------
-    def newton_step(w, s, lam, zl, zu, p, mu):
+    def newton_step(w, s, lam, zl, zu, p, mu, prox):
         lam_g, lam_h = lam[:m], lam[m:]
         gf = grad_f(w, p)
-        Jg = jac_g(w, p) if m else jnp.zeros((0, n), w.dtype)
-        Jh = jac_h(w, p) if q else jnp.zeros((0, n), w.dtype)
         gv, hv = eval_all(w, p)
-        Hw = hess_fn(w, p, lam_g, lam_h)
 
         dl_w, dl_s = dist_l(w, s)
         du_w = dist_u(w)
@@ -222,8 +245,9 @@ def make_ipm_solver(
         sig_s = zl[n:] / dl_s
 
         # barrier-gradient form of the dual residual
-        r_dw = gf + (Jg.T @ lam_g if m else 0.0) + (Jh.T @ lam_h if q else 0.0) \
-            - jnp.where(has_lb, mu / dl_w, 0.0) + jnp.where(has_ub, mu / du_w, 0.0)
+        r_dw = gf + jgT_mv(w, p, lam_g) + jhT_mv(w, p, lam_h) \
+            - jnp.where(has_lb, mu / dl_w, 0.0) \
+            + jnp.where(has_ub, mu / du_w, 0.0)
         r_ds = lam_h - mu / dl_s if q else jnp.zeros((0,), w.dtype)
         r_g = gv
         r_h = hv + s
@@ -232,9 +256,32 @@ def make_ipm_solver(
             else jnp.zeros((0,), w.dtype)
         r_h_mod = r_h - r_ds * inv_sig_s
 
-        dw, dlam_g, dlam_h = solve_kkt(
-            Hw, sig_w, Jg, Jh, inv_sig_s, r_dw, r_g, r_h_mod,
-            jnp.asarray(0.0, w.dtype))
+        if structured_solve is not None:
+            def do_solve_rhs(r_dw_, r_g_, r_h_mod_, delta):
+                return structured_solve(w, p, lam_g, lam_h, sig_w,
+                                        inv_sig_s, r_dw_, r_g_, r_h_mod_,
+                                        jnp.asarray(delta, w.dtype))
+
+            def hvp(dx):
+                # Lagrangian Hessian-vector product via jvp of the gradient
+                def lag_grad(ww):
+                    return (grad_f(ww, p) + jgT_mv(ww, p, lam_g)
+                            + jhT_mv(ww, p, lam_h))
+                return jax.jvp(lag_grad, (w,), (dx,))[1]
+        else:
+            Jg = jac_g(w, p) if m else jnp.zeros((0, n), w.dtype)
+            Jh = jac_h(w, p) if q else jnp.zeros((0, n), w.dtype)
+            Hw = hess_fn(w, p, lam_g, lam_h)
+
+            def do_solve_rhs(r_dw_, r_g_, r_h_mod_, delta):
+                return solve_kkt(Hw, sig_w, Jg, Jh, inv_sig_s, r_dw_, r_g_,
+                                 r_h_mod_, jnp.asarray(delta, w.dtype))
+
+            def hvp(dx):
+                return Hw @ dx
+
+        def do_solve(delta):
+            return do_solve_rhs(r_dw, r_g, r_h_mod, delta)
 
         # Retry with escalating primal regularization when the step is bad:
         # non-finite, wrong curvature, or (critical for the unpivoted
@@ -243,20 +290,19 @@ def make_ipm_solver(
         rhs_norm = jnp.maximum(jnp.maximum(
             jnp.max(jnp.abs(r_dw), initial=0.0),
             jnp.max(jnp.abs(r_g), initial=0.0)),
-            jnp.max(jnp.abs(r_h_mod), initial=0.0)) + 1.0
+            jnp.max(jnp.abs(r_h_mod), initial=0.0)) + 1e-12
 
         def step_residual(step, delta):
             dw_, dg_, dh_ = step
-            res_w = (Hw @ dw_ + (sig_w + delta) * dw_ + r_dw
-                     + (Jg.T @ dg_ if m else 0.0)
-                     + (Jh.T @ dh_ if q else 0.0))
+            res_w = (hvp(dw_) + (sig_w + delta) * dw_ + r_dw
+                     + jgT_mv(w, p, dg_) + jhT_mv(w, p, dh_))
             out = jnp.max(jnp.abs(res_w), initial=0.0)
             if m:
-                res_g = Jg @ dw_ - st.delta_cons * dg_ + r_g
+                res_g = jg_mv(w, p, dw_) - st.delta_cons * dg_ + r_g
                 out = jnp.maximum(out, jnp.max(jnp.abs(res_g), initial=0.0))
             if q:
-                res_h = Jh @ dw_ - inv_sig_s * dh_ - st.delta_cons * dh_ \
-                    + r_h_mod
+                res_h = jh_mv(w, p, dw_) - inv_sig_s * dh_ \
+                    - st.delta_cons * dh_ + r_h_mod
                 out = jnp.maximum(out, jnp.max(jnp.abs(res_h), initial=0.0))
             return out
 
@@ -264,35 +310,62 @@ def make_ipm_solver(
             dw_, dg_, dh_ = step
             bad = ~jnp.all(jnp.isfinite(dw_)) | ~jnp.all(jnp.isfinite(dg_)) \
                 | ~jnp.all(jnp.isfinite(dh_))
-            curv = jnp.dot(dw_, (Hw @ dw_)) + jnp.sum(sig_w * dw_ * dw_)
-            inaccurate = step_residual(step, delta) > 1e-6 * rhs_norm
-            return bad | (curv < -1e-12) | inaccurate
+            curv = jnp.dot(dw_, hvp(dw_)) \
+                + jnp.sum((sig_w + delta) * dw_ * dw_)
+            wrong_curv = curv < -1e-10 * (1.0 + jnp.dot(dw_, dw_))
+            # inexact-Newton acceptance: a modest relative residual still
+            # yields a productive IP step (forcing-term theory)
+            inaccurate = step_residual(step, delta) > 1e-2 * rhs_norm
+            return bad | wrong_curv | inaccurate
 
-        def retry(delta):
-            return solve_kkt(Hw, sig_w, Jg, Jh, inv_sig_s, r_dw, r_g,
-                             r_h_mod, jnp.asarray(delta, w.dtype))
-
-        step = (dw, dlam_g, dlam_h)
-        prev_delta = jnp.asarray(0.0, w.dtype)
-        for delta in (st.delta_reg, 1e-4, 1e-2, 1.0, 1e2, 1e4):
+        step = do_solve(prox)
+        prev_delta = prox
+        for mult in (10.0, 1e2, 1e3, 1e5, 1e7):
             bad = need_retry(step, prev_delta)
-            new_step = jax.lax.cond(bad, lambda: retry(delta), lambda: step)
+            delta = jnp.maximum(prox, 1e-8) * mult
+            new_step = jax.lax.cond(bad, lambda d=delta: do_solve(d),
+                                    lambda: step)
             step = new_step
             prev_delta = jnp.where(bad, delta, prev_delta)
         dw, dlam_g, dlam_h = step
+        if st.debug:
+            jax.debug.print(
+                "  newton: |dw|={dwn:.2e}@{i} delta={d:.1e} res={r:.2e}",
+                dwn=jnp.max(jnp.abs(dw)), i=jnp.argmax(jnp.abs(dw)),
+                d=prev_delta, r=step_residual(step, prev_delta))
 
-        ds = -(r_h + Jh @ dw) if q else jnp.zeros((0,), w.dtype)
-        dlam = jnp.concatenate([dlam_g, dlam_h])
-        # recover bound-dual steps
-        dzl_w = jnp.where(has_lb, _safe_div(mu - zl[:n] * dl_w, dl_w)
-                          - _safe_div(zl[:n] * dw, dl_w), 0.0)
-        dzl_s = _safe_div(mu - zl[n:] * dl_s, dl_s) \
-            - _safe_div(zl[n:] * ds, dl_s) if q else jnp.zeros((0,), w.dtype)
-        dzu_w = jnp.where(has_ub, _safe_div(mu - zu[:n] * du_w, du_w)
-                          + _safe_div(zu[:n] * dw, du_w), 0.0)
-        dzl = jnp.concatenate([dzl_w, dzl_s])
-        dzu = jnp.concatenate([dzu_w, jnp.zeros((q,), w.dtype)])
-        return dw, ds, dlam, dzl, dzu
+        def recover(dw_, dlam_g_, dlam_h_, r_h_used):
+            ds_ = -(r_h_used + jh_mv(w, p, dw_)) if q \
+                else jnp.zeros((0,), w.dtype)
+            dlam_ = jnp.concatenate([dlam_g_, dlam_h_])
+            dzl_w = jnp.where(has_lb, _safe_div(mu - zl[:n] * dl_w, dl_w)
+                              - _safe_div(zl[:n] * dw_, dl_w), 0.0)
+            dzl_s = _safe_div(mu - zl[n:] * dl_s, dl_s) \
+                - _safe_div(zl[n:] * ds_, dl_s) if q \
+                else jnp.zeros((0,), w.dtype)
+            dzu_w = jnp.where(has_ub, _safe_div(mu - zu[:n] * du_w, du_w)
+                              + _safe_div(zu[:n] * dw_, du_w), 0.0)
+            dzl_ = jnp.concatenate([dzl_w, dzl_s])
+            dzu_ = jnp.concatenate([dzu_w, jnp.zeros((q,), w.dtype)])
+            return dw_, ds_, dlam_, dzl_, dzu_
+
+        def resolve_soc(alpha):
+            """Second-order correction (IPOPT-style): re-solve with the
+            constraint value at the trial point to absorb the curvature-
+            induced infeasibility of a long step."""
+            w_t = w + alpha * dw
+            gv_t = g(w_t, p) if m else jnp.zeros((0,), w.dtype)
+            hv_t = h(w_t, p) if q else jnp.zeros((0,), w.dtype)
+            r_g_soc = alpha * r_g + gv_t
+            r_h_soc = alpha * r_h + hv_t + (s + alpha * (-(r_h + jh_mv(
+                w, p, dw)) if q else jnp.zeros((0,), w.dtype)))
+            r_h_mod_soc = r_h_soc - r_ds * inv_sig_s if q \
+                else jnp.zeros((0,), w.dtype)
+            dw2, dg2, dh2 = do_solve_rhs(r_dw, r_g_soc, r_h_mod_soc,
+                                         prev_delta)
+            return recover(dw2, dg2, dh2, r_h_soc)
+
+        return recover(dw, dlam_g, dlam_h, r_h) + (resolve_soc, prev_delta)
 
     # -- fraction to boundary ----------------------------------------------
     def max_alpha(x, dx, dist, active):
@@ -318,6 +391,24 @@ def make_ipm_solver(
         return a_p, a_d
 
     # -- line search on l1 merit -------------------------------------------
+    def ls_trial(w, s, dw, ds, p, mu, alpha, nu):
+        """Single acceptance test at the given step size."""
+        phi0 = barrier_value(w, s, p, mu)
+        gv, hv = eval_all(w, p)
+        vio0 = constraint_violation(gv, hv, s)
+        w_t = w + alpha * dw
+        s_t = s + alpha * ds
+        phi = barrier_value(w_t, s_t, p, mu)
+        gv_t, hv_t = eval_all(w_t, p)
+        vio = constraint_violation(gv_t, hv_t, s_t)
+        merit0 = phi0 + nu * vio0
+        merit = phi + nu * vio
+        return jnp.isfinite(merit) & (
+            (merit <= merit0 - 1e-8 * alpha * jnp.maximum(vio0, 1e-16))
+            | (vio <= vio0 * (1 - 1e-4 * alpha))
+            | (merit <= merit0 + 1e-12 * jnp.abs(merit0))
+        )
+
     def line_search(w, s, dw, ds, p, mu, alpha_max, nu):
         phi0 = barrier_value(w, s, p, mu)
         gv, hv = eval_all(w, p)
@@ -375,12 +466,48 @@ def make_ipm_solver(
                             jnp.minimum(st.kappa_mu * mu, mu ** st.theta_mu)),
                 mu)
 
-            dw, ds, dlam, dzl, dzu = newton_step(w, s, lam, zl, zu, p, mu_new)
+            dw, ds, dlam, dzl, dzu, resolve_soc, delta_used = newton_step(
+                w, s, lam, zl, zu, p, mu_new, stt.prox)
             a_p, a_d = fraction_to_boundary(w, s, dw, ds, zl, zu, dzl, dzu,
                                             mu_new)
             nu = jnp.maximum(1.0, 2.0 * jnp.max(
                 jnp.abs(lam + dlam), initial=0.0))
-            alpha = line_search(w, s, dw, ds, p, mu_new, a_p, nu)
+
+            # full step if acceptable; else one second-order correction
+            # (absorbs the nonlinear constraint-violation growth of long
+            # steps, IPOPT-style); else backtracking line search
+            ok_full = ls_trial(w, s, dw, ds, p, mu_new, a_p, nu)
+
+            def do_soc(_):
+                dw2, ds2, dlam2, dzl2, dzu2 = resolve_soc(a_p)
+                a_p2, a_d2 = fraction_to_boundary(
+                    w, s, dw2, ds2, zl, zu, dzl2, dzu2, mu_new)
+                ok2 = ls_trial(w, s, dw2, ds2, p, mu_new, a_p2, nu)
+                return ok2, dw2, ds2, dlam2, dzl2, dzu2, a_p2, a_d2
+
+            def no_soc(_):
+                return (jnp.asarray(False), dw, ds, dlam, dzl, dzu, a_p,
+                        a_d)
+
+            soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2, a_d2 = jax.lax.cond(
+                ok_full, no_soc, do_soc, None)
+            use_soc = (~ok_full) & soc_ok
+
+            def pick(a, b):
+                return jnp.where(use_soc, b, a)
+
+            dw = pick(dw, dw2)
+            ds = pick(ds, ds2)
+            dlam = pick(dlam, dlam2)
+            dzl = pick(dzl, dzl2)
+            dzu = pick(dzu, dzu2)
+            a_p = jnp.where(use_soc, a_p2, a_p)
+            a_d = jnp.where(use_soc, a_d2, a_d)
+
+            alpha = jax.lax.cond(
+                ok_full | use_soc,
+                lambda: a_p,
+                lambda: line_search(w, s, dw, ds, p, mu_new, a_p, nu))
 
             w_n = w + alpha * dw
             s_n = s + alpha * ds
@@ -402,7 +529,20 @@ def make_ipm_solver(
                          kap * mu_new / jnp.maximum(du, 1e-300)),
                 0.0)
 
+            if st.debug:
+                jax.debug.print(
+                    "it={it} mu={mu:.1e} err0={e0:.2e} errmu={em:.2e} "
+                    "alpha={a:.2e} a_d={ad:.2e} nu={nu:.1e}",
+                    it=stt.it, mu=mu_new, e0=err_0, em=err_mu, a=alpha,
+                    ad=a_d, nu=nu)
             converged = err_0 <= st.tol
+            # Levenberg adaptation: small accepted steps -> more damping
+            # (tames huge Newton steps along flat directions that the line
+            # search would otherwise crush); good steps -> less damping.
+            prox_n = jnp.where(
+                alpha < 0.1, jnp.maximum(delta_used * 10.0, 1e-8),
+                jnp.where(alpha > 0.9, delta_used / 5.0, delta_used))
+            prox_n = jnp.clip(prox_n, 0.0, 1e6)
             return IPMState(
                 w=jnp.where(converged, w, w_n),
                 s=jnp.where(converged, s, s_n),
@@ -412,11 +552,12 @@ def make_ipm_solver(
                 mu=jnp.where(converged, mu, mu_new),
                 it=stt.it + 1,
                 converged=converged,
-                kkt_err=err_0)
+                kkt_err=err_0,
+                prox=prox_n)
 
         return jax.lax.while_loop(cond, body, state)
 
-    def init_state(w0, p, lam0=None, mu0=None):
+    def init_state(w0, p, lam0=None, mu0=None, zl0=None, zu0=None):
         dtype = w0.dtype
         # push the initial point into the interior (IPOPT bound_push/frac)
         k1, k2 = st.bound_push, st.bound_frac
@@ -440,16 +581,111 @@ def make_ipm_solver(
         zl = jnp.concatenate([jnp.where(has_lb, mu / dl_w, 0.0), mu / dl_s])
         zu = jnp.concatenate([jnp.where(has_ub, mu / du_w, 0.0),
                               jnp.zeros((q,), dtype)])
+        if zl0 is not None:
+            # warm-started bound duals, kept safely positive
+            zl = jnp.where(zl0 > 1e-12, jnp.maximum(zl0, mu / 1e8), zl)
+        if zu0 is not None:
+            zu = jnp.where(zu0 > 1e-12, jnp.maximum(zu0, mu / 1e8), zu)
         return IPMState(w=w, s=s, lam=lam, zl=zl, zu=zu, mu=mu,
                         it=jnp.asarray(0), converged=jnp.asarray(False),
-                        kkt_err=jnp.asarray(jnp.inf, dtype))
+                        kkt_err=jnp.asarray(jnp.inf, dtype),
+                        prox=jnp.asarray(0.0, dtype))
 
-    def solve(w0, p, lam0=None, mu0=None):
-        state = init_state(jnp.asarray(w0), p, lam0=lam0, mu0=mu0)
+    # -- active-set Newton polish ------------------------------------------
+    # The barrier loop identifies the active set and gets within ~1e-3..1e-5;
+    # a few full Newton steps with the active set FIXED (active bounds pinned
+    # by a large quadratic penalty, inactive inequality multipliers driven to
+    # zero) then converge quadratically to the exact KKT point — this is what
+    # lets us match IPOPT's answers to 1e-8 without IPOPT's line-search
+    # machinery fighting flat directions.
+    BIG = 1e10
+
+    def polish(w, s, lam, zl, zu, p):
+        dl_w = jnp.where(has_lb, w - lb, jnp.inf)
+        du_w = jnp.where(has_ub, ub - w, jnp.inf)
+        act_lb = has_lb & (zl[:n] > dl_w)
+        act_ub = has_ub & (zu[:n] > du_w)
+        act_h = (zl[n:] > s) if q else jnp.zeros((0,), bool)
+        act_b = act_lb | act_ub
+        target = jnp.where(act_ub, ub, jnp.where(act_lb, lb, 0.0))
+        target = jnp.where(jnp.isfinite(target), target, 0.0)
+
+        def body(carry, _):
+            w_, lam_ = carry
+            lam_g, lam_h = lam_[:m], lam_[m:]
+            gf = grad_f(w_, p)
+            r_dw = gf + jgT_mv(w_, p, lam_g) + jhT_mv(w_, p, lam_h) \
+                + BIG * jnp.where(act_b, w_ - target, 0.0)
+            r_g = g(w_, p) if m else jnp.zeros((0,), w_.dtype)
+            hv = h(w_, p) if q else jnp.zeros((0,), w_.dtype)
+            # active ineq -> equality (inv_sig 0); inactive -> lam -> 0
+            inv_sig = jnp.where(act_h, 0.0, BIG) if q \
+                else jnp.zeros((0,), w_.dtype)
+            r_h_mod = hv - lam_h * inv_sig
+            sig_pol = jnp.where(act_b, BIG, 0.0)
+            if structured_solve is not None:
+                dw_, dg_, dh_ = structured_solve(
+                    w_, p, lam_g, lam_h, sig_pol, inv_sig, r_dw, r_g,
+                    r_h_mod, jnp.asarray(0.0, w_.dtype))
+            else:
+                Jg_ = jac_g(w_, p) if m else jnp.zeros((0, n), w_.dtype)
+                Jh_ = jac_h(w_, p) if q else jnp.zeros((0, n), w_.dtype)
+                Hw_ = hess_fn(w_, p, lam_g, lam_h)
+                dw_, dg_, dh_ = solve_kkt(
+                    Hw_, sig_pol, Jg_, Jh_, inv_sig, r_dw, r_g, r_h_mod,
+                    jnp.asarray(0.0, w_.dtype))
+            good = jnp.all(jnp.isfinite(dw_)) & jnp.all(jnp.isfinite(dg_)) \
+                & jnp.all(jnp.isfinite(dh_))
+            w_n = jnp.where(good, w_ + dw_, w_)
+            lam_n = jnp.where(good, lam_ + jnp.concatenate([dg_, dh_]),
+                              lam_)
+            return (w_n, lam_n), None
+
+        (w_p, lam_p), _ = jax.lax.scan(body, (w, lam), None, length=3)
+        # recover bound duals and slacks consistent with the polished point
+        lam_gp, lam_hp = lam_p[:m], lam_p[m:]
+        r_stat = grad_f(w_p, p) + jgT_mv(w_p, p, lam_gp) \
+            + jhT_mv(w_p, p, lam_hp)
+        zl_p = jnp.concatenate([
+            jnp.where(act_lb, jnp.maximum(r_stat, 0.0), 0.0),
+            jnp.where(act_h, jnp.maximum(lam_hp, 0.0), 0.0)
+            if q else jnp.zeros((0,), w.dtype)])
+        zu_p = jnp.concatenate([
+            jnp.where(act_ub, jnp.maximum(-r_stat, 0.0), 0.0),
+            jnp.zeros((q,), w.dtype)])
+        w_cl = jnp.clip(w_p, jnp.where(has_lb, lb, -jnp.inf),
+                        jnp.where(has_ub, ub, jnp.inf))
+        hv_p = h(w_cl, p) if q else jnp.zeros((0,), w.dtype)
+        s_p = jnp.maximum(-hv_p, 0.0)
+        return w_cl, s_p, lam_p, zl_p, zu_p
+
+    def solve(w0, p, lam0=None, mu0=None, zl0=None, zu0=None):
+        state = init_state(jnp.asarray(w0), p, lam0=lam0, mu0=mu0,
+                           zl0=zl0, zu0=zu0)
         final = solver_loop(state, p)
+        # polish and keep whichever point has the smaller true KKT error
+        err_ipm = kkt_error(final.w, final.s, final.lam, final.zl,
+                            final.zu, p, 0.0)
+        w_p, s_p, lam_p, zl_p, zu_p = polish(
+            final.w, final.s, final.lam, final.zl, final.zu, p)
+        err_pol = kkt_error(w_p, s_p, lam_p, zl_p, zu_p, p, 0.0)
+        if st.debug:
+            jax.debug.print("polish: err_ipm={a:.2e} err_pol={b:.2e}",
+                            a=err_ipm, b=err_pol)
+        better = jnp.isfinite(err_pol) & (err_pol < err_ipm)
+
+        def sel(a, b):
+            return jnp.where(better, b, a)
+
+        w_f = sel(final.w, w_p)
+        s_f = sel(final.s, s_p)
+        lam_f = sel(final.lam, lam_p)
+        zl_f = sel(final.zl, zl_p)
+        zu_f = sel(final.zu, zu_p)
+        err_f = jnp.where(better, err_pol, err_ipm)
         return IPMSolution(
-            w=final.w, s=final.s, lam=final.lam, zl=final.zl, zu=final.zu,
-            f=f(final.w, p), kkt_err=final.kkt_err, iterations=final.it,
-            success=final.converged)
+            w=w_f, s=s_f, lam=lam_f, zl=zl_f, zu=zu_f,
+            f=f(w_f, p), kkt_err=err_f, iterations=final.it,
+            success=final.converged | (err_f <= st.tol))
 
     return solve
