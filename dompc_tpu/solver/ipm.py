@@ -473,16 +473,32 @@ def make_ipm_solver(
             nu = jnp.maximum(1.0, 2.0 * jnp.max(
                 jnp.abs(lam + dlam), initial=0.0))
 
+            # acceptance: merit test OR direct KKT-error decrease (the
+            # latter is what matters near the central path, where the l1
+            # merit is too conservative once primal feasibility ~ 0)
+            err_ref = kkt_error(w, s, lam, zl, zu, p, mu_new)
+
+            def kkt_decrease(alpha, dw_, ds_, dlam_, dzl_, dzu_, a_d_):
+                w_t = w + alpha * dw_
+                s_t = s + alpha * ds_
+                lam_t = lam + alpha * dlam_
+                zl_t = zl + a_d_ * dzl_
+                zu_t = zu + a_d_ * dzu_
+                err_t = kkt_error(w_t, s_t, lam_t, zl_t, zu_t, p, mu_new)
+                return jnp.isfinite(err_t) & (err_t < 0.99 * err_ref)
+
             # full step if acceptable; else one second-order correction
             # (absorbs the nonlinear constraint-violation growth of long
             # steps, IPOPT-style); else backtracking line search
-            ok_full = ls_trial(w, s, dw, ds, p, mu_new, a_p, nu)
+            ok_full = ls_trial(w, s, dw, ds, p, mu_new, a_p, nu) \
+                | kkt_decrease(a_p, dw, ds, dlam, dzl, dzu, a_d)
 
             def do_soc(_):
                 dw2, ds2, dlam2, dzl2, dzu2 = resolve_soc(a_p)
                 a_p2, a_d2 = fraction_to_boundary(
                     w, s, dw2, ds2, zl, zu, dzl2, dzu2, mu_new)
-                ok2 = ls_trial(w, s, dw2, ds2, p, mu_new, a_p2, nu)
+                ok2 = ls_trial(w, s, dw2, ds2, p, mu_new, a_p2, nu) \
+                    | kkt_decrease(a_p2, dw2, ds2, dlam2, dzl2, dzu2, a_d2)
                 return ok2, dw2, ds2, dlam2, dzl2, dzu2, a_p2, a_d2
 
             def no_soc(_):
