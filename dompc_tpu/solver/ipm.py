@@ -41,6 +41,7 @@ class IPMSettings:
     bound_push: float = 1e-2    # kappa_1: relative initial push into interior
     bound_frac: float = 1e-2    # kappa_2
     slack_min: float = 1e-8
+    z_init: float = 1.0         # initial bound duals (IPOPT initializes z=1)
     ls_max: int = 25            # max halvings in line search
     delta_reg: float = 1e-8     # base primal regularization
     delta_cons: float = 1e-11   # dual regularization (keeps KKT nonsingular)
@@ -592,10 +593,10 @@ def make_ipm_solver(
         s = jnp.maximum(-hv, st.slack_min) if q else jnp.zeros((0,), dtype)
         mu = jnp.asarray(st.mu_init if mu0 is None else mu0, dtype)
         lam = jnp.zeros((m + q,), dtype) if lam0 is None else lam0
-        dl_w, dl_s = dist_l(w, s)
-        du_w = dist_u(w)
-        zl = jnp.concatenate([jnp.where(has_lb, mu / dl_w, 0.0), mu / dl_s])
-        zu = jnp.concatenate([jnp.where(has_ub, mu / du_w, 0.0),
+        z0v = jnp.asarray(st.z_init, dtype)
+        zl = jnp.concatenate([jnp.where(has_lb, z0v, 0.0),
+                              jnp.full((q,), z0v, dtype)])
+        zu = jnp.concatenate([jnp.where(has_ub, z0v, 0.0),
                               jnp.zeros((q,), dtype)])
         if zl0 is not None:
             # warm-started bound duals, kept safely positive
