@@ -133,11 +133,22 @@ class MPC(Optimizer, IteratedVariables):
         """High-level API: cartesian product of per-parameter value lists;
         the first value of each list is nominal (reference: _mpc.py:819-881)."""
         spec = self.model.spec("_p")
+        assert set(kwargs).issubset(set(spec.names)), (
+            f"unknown parameter names {set(kwargs) - set(spec.names)}")
         values = []
         for name in spec.names:
-            assert name in kwargs, f"missing uncertainty values for {name!r}"
-            values.append(np.atleast_1d(np.asarray(kwargs[name], dtype=float)))
-        combos = np.array(list(itertools.product(*values)))
+            bs = spec.block_size(name)
+            if name in kwargs:
+                v = np.asarray(kwargs[name], dtype=float)
+                v = v.reshape(-1, 1) if (v.ndim <= 1 and bs == 1) \
+                    else v.reshape(-1, bs)
+            else:
+                # unspecified parameters default to zero (reference allows
+                # passing a subset, _mpc.py:819-881)
+                v = np.zeros((1, bs))
+            values.append([row for row in v])
+        combos = np.array([np.concatenate(c)
+                           for c in itertools.product(*values)])
         n_comb = combos.shape[0]
         tmpl = self.get_p_template(n_comb)
         tmpl._data[:, :] = combos

@@ -295,11 +295,18 @@ class Model:
         self.flags["setup"] = True
         return self
 
-    def _expr_shape(self, expr):
-        """Shape of an expression evaluated on zeros (via jax.eval_shape)."""
+    def _expr_shape(self, expr, extra_specs=None):
+        """Shape of an expression evaluated on zeros (via jax.eval_shape).
+        ``extra_specs``: optional {env_key: StructSpec} for non-model
+        variables (e.g. MHE's _p_est/_p_set/_x_prev)."""
         env = {vt: {n: jnp.zeros(self._env_shape(vt, n))
                     for n in self._specs[vt].names}
                for vt in VAR_TYPES}
+        if extra_specs:
+            for key, spec in extra_specs.items():
+                env[key] = {n: jnp.zeros(
+                    (spec.shapes[n][0],) if spec.shapes[n][1] == 1
+                    else spec.shapes[n]) for n in spec.names}
         out = jax.eval_shape(lambda e: jnp.asarray(expr(e)), env)
         shp = out.shape
         if len(shp) == 0:

@@ -285,7 +285,8 @@ class Optimizer:
         (reference: optimizer.py:483-541)."""
         assert not self.flags["setup"], "Cannot call set_nl_cons after setup."
         expr = casym.to_sym(expr)
-        shape = self.model._expr_shape(expr)
+        shape = self.model._expr_shape(
+            expr, extra_specs=getattr(self, "_nl_cons_extra_specs", None))
         if soft_constraint:
             self.slack_vars_list.append({
                 "slack_name": expr_name, "shape": shape,

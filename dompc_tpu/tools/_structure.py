@@ -147,8 +147,13 @@ class NumStruct:
             s = self.spec.slice(name)
             shape = self.spec.shapes[name]
             blk = self.data[s].reshape((shape[1], shape[0])).T.copy()
-            blk[tuple(rest)] = np.asarray(value, dtype=float).reshape(
-                np.shape(blk[tuple(rest)]))
+            val = np.asarray(value, dtype=float)
+            tgt_shape = np.shape(blk[tuple(rest)])
+            if val.shape != tgt_shape:
+                val = np.broadcast_to(val.reshape(val.shape or (1,)),
+                                      tgt_shape) if val.size == 1 \
+                    else val.reshape(tgt_shape)
+            blk[tuple(rest)] = val
             self.data[s] = blk.T.reshape(-1)
             return
         s = self.spec.slice(name)

@@ -1,0 +1,115 @@
+"""EKF (triple tank) and LQR (oscillating masses) golden regressions
+(reference tests: testing/test_triple_tank_EKF.py,
+testing/test_oscillating_masses_discrete_lqr.py)."""
+import numpy as np
+
+import dompc_tpu as dm
+from dompc_tpu import sym
+from golden import load_golden
+
+
+def triple_tank_model():
+    """Reference: examples/triple_tank_ekf/template_model.py."""
+    m = dm.model.Model("discrete")
+    x1 = m.set_variable("_x", "x1")
+    x2 = m.set_variable("_x", "x2")
+    x3 = m.set_variable("_x", "x3")
+    u1 = m.set_variable("_u", "u1")
+    u2 = m.set_variable("_u", "u2")
+    m.set_meas("x3_meas", x3)
+    p1 = m.set_variable("_p", "p1")
+    tvp1 = m.set_variable("_tvp", "tvp1")
+    A, g, Ts = 0.00154, 9.81, 1
+    r1, r2, r3, sp = 1, 0.8, 1, 5e-5
+    q13 = r1 * sp * sym.sign(x1 - x3) * sym.sqrt(2 * g * sym.fabs(x1 - x3))
+    q32 = r3 * sp * sym.sign(x3 - x2) * sym.sqrt(2 * g * sym.fabs(x3 - x2))
+    q20 = r2 * sp * sym.sqrt(2 * g * x2) * tvp1 * p1
+    m.set_rhs("x1", x1 + (Ts / A) * (-q13 + u1))
+    m.set_rhs("x2", x2 + (Ts / A) * (q32 - q20 + u2))
+    m.set_rhs("x3", x3 + (Ts / A) * (q13 - q32))
+    m.setup()
+    return m
+
+
+def _tank_tvp_fun(tmpl):
+    def tvp_fun(t_now):
+        tmpl["tvp1"] = 0.5 if t_now < 50 else 1.0
+        return tmpl
+    return tvp_fun
+
+
+def test_triple_tank_ekf():
+    ref = load_golden("results_triple_tank_ekf")
+    model = triple_tank_model()
+
+    sim = dm.Simulator(model)
+    sim.set_param(t_step=1)
+    p_t = sim.get_p_template()
+    p_t["p1"] = 2
+
+    def p_fun(t):
+        return p_t
+    sim.set_p_fun(p_fun)
+    sim.set_tvp_fun(_tank_tvp_fun(sim.get_tvp_template()))
+    sim.setup()
+
+    ekf = dm.estimator.EKF(model)
+    ekf.settings.t_step = 1
+    p_te = ekf.get_p_template()
+    p_te["p1"] = 2
+    ekf.set_p_fun(lambda t: p_te)
+    ekf.set_tvp_fun(_tank_tvp_fun(ekf.get_tvp_template()))
+    ekf.setup()
+
+    Q = np.diag(1e-3 * np.ones(model.n_x))
+    R = np.diag(1e-2 * np.ones(model.n_y))
+    sim.x0 = np.array([2, 2.8, 2.7])
+    ekf.x0 = np.array([1.2, 1.4, 1.8])
+    sim.set_initial_guess()
+    ekf.set_initial_guess()
+    np.random.seed(42)
+    for _ in range(200):
+        u0 = np.array([[0.0001], [0.0001]])
+        y_next = sim.make_step(u0, v0=0.001 * np.random.randn(model.n_v, 1))
+        ekf.make_step(y_next=y_next, u_next=u0, Q_k=Q, R_k=R)
+
+    for module, mine in (("simulator", sim.data), ("estimator", ekf.data)):
+        for attr in ("_x", "_u", "_time"):
+            err = np.max(np.abs(getattr(mine, attr)
+                                - getattr(ref[module], attr)))
+            assert err < 1e-7, f"{module}{attr}: {err:.2e}"
+
+
+def test_oscillating_masses_lqr():
+    ref = load_golden("results_oscillatingMasses_LQR")
+    lm = dm.model.LinearModel("discrete")
+    lm.set_variable("_x", "x", (4, 1))
+    lm.set_variable("_u", "u", (1, 1))
+    A = np.array([[0.763, 0.460, 0.115, 0.020],
+                  [-0.899, 0.763, 0.420, 0.115],
+                  [0.115, 0.020, 0.763, 0.460],
+                  [0.420, 0.115, -0.899, 0.763]])
+    B = np.array([[0.014], [0.063], [0.221], [0.367]])
+    lm.setup(A, B)
+
+    lqr = dm.controller.LQR(lm)
+    lqr.settings.t_step = 0.5
+    lqr.settings.n_horizon = None
+    lqr.set_objective(Q=np.identity(4), R=np.identity(1))
+    lqr.set_rterm(delR=np.identity(1))
+    lqr.setup()
+
+    sim = dm.Simulator(lm)
+    sim.set_param(t_step=0.5)
+    sim.setup()
+
+    x0 = np.array([[2], [1], [3], [1]])
+    sim.x0 = x0
+    for _ in range(50):
+        u0 = lqr.make_step(x0)
+        y_next = sim.make_step(u0)
+        x0 = y_next
+    for attr in ("_x", "_u", "_time"):
+        err = np.max(np.abs(getattr(sim.data, attr)
+                            - getattr(ref["simulator"], attr)))
+        assert err < 1e-7, f"sim{attr}: {err:.2e}"
