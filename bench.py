@@ -1,0 +1,86 @@
+"""Benchmark: batched robust NMPC solves/s on the available accelerator.
+
+Headline config (BASELINE.md): CSTR robust multi-stage MPC, nx=4, nu=2,
+2 uncertain parameters -> 9-branch scenario tree, N=20, Radau collocation
+deg 2.  A batch of B interior-point solves (stage-band block-LU KKT) runs
+as one vmapped jit call; throughput = B * reps / wall.
+
+Baseline: do-mpc/IPOPT cannot run in this image (no casadi), so the
+single-core IPOPT reference rate is taken as 15 solves/s (~65 ms per warm
+CSTR solve, typical for this problem size with MUMPS); ``vs_baseline`` is
+measured-throughput / 15.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_cstr_mpc
+    from dompc_tpu.parallel import make_batch_solver, initial_guess_from_x0
+
+    backend = jax.default_backend()
+    B = int(os.environ.get("DOMPC_BENCH_B", "32" if backend != "cpu"
+                           else "8"))
+    reps = int(os.environ.get("DOMPC_BENCH_REPS", "3"))
+
+    mpc = _build_cstr_mpc(n_horizon=20, n_robust=1)
+    x0 = np.array([0.8, 0.5, 134.14, 130.0])
+    mpc.x0 = x0
+    mpc.set_initial_guess()
+    w0 = mpc.opt_x_num.copy()
+
+    rng = np.random.default_rng(0)
+    x0s = x0[None, :] * (1.0 + 0.02 * rng.standard_normal((B, 4)))
+    x0s = np.clip(x0s, [0.15, 0.15, 55, 55], [1.9, 1.9, 139.5, 139.5])
+
+    tol = float(os.environ.get("DOMPC_BENCH_TOL", "1e-4"))
+    max_iter = int(os.environ.get("DOMPC_BENCH_ITERS", "40"))
+    solve_batch = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
+                                    throughput_mode=True)
+
+    X = jnp.asarray(x0s)
+    W = jnp.asarray(initial_guess_from_x0(mpc, x0s))
+
+    t0 = time.perf_counter()
+    sol, u0s = solve_batch(X, W)
+    u0s.block_until_ready()
+    compile_and_first = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sol, u0s = solve_batch(X, W)
+        u0s.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    solves_per_s = B * reps / wall
+    success_rate = float(jnp.mean(sol.success.astype(jnp.float32)))
+    mean_iters = float(jnp.mean(sol.iterations.astype(jnp.float32)))
+
+    baseline_ipopt_solves_per_s = 15.0
+    print(json.dumps({
+        "metric": "CSTR_robust_N20_batched_NMPC_solves_per_s",
+        "value": round(solves_per_s, 3),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / baseline_ipopt_solves_per_s, 3),
+        "batch": B,
+        "reps": reps,
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "success_rate": round(success_rate, 3),
+        "mean_iterations": round(mean_iters, 1),
+        "tol": tol,
+        "compile_plus_first_s": round(compile_and_first, 1),
+        "baseline_assumption": "IPOPT+MUMPS ~15 warm solves/s single core",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Supervised training of the ApproxMPC policy.
+
+Re-design of ``do_mpc/approximateMPC/_trainer.py:38-506``: Adam + MSE with
+train/val split and plateau LR scheduling, as a jit-compiled optax loop
+(data-parallel ready: the train step is a pure function of (params, batch)).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ._ampcsettings import TrainerSettings
+
+
+class Trainer:
+    def __init__(self, approx_mpc, settings: TrainerSettings | None = None):
+        self.approx_mpc = approx_mpc
+        self.settings = settings or TrainerSettings()
+        self.history = {"train_loss": [], "val_loss": [], "lr": []}
+
+    def default_training(self, X, U, U_prev=None, seed=0):
+        """Train on (x0[, u_prev]) -> u_opt pairs; returns history."""
+        st = self.settings
+        am = self.approx_mpc
+        if am.use_u_prev:
+            assert U_prev is not None
+            inputs = np.concatenate([X, U_prev], axis=1)
+        else:
+            inputs = X
+        Xs = am.scale_inputs(inputs)
+        Ys = (U - am.out_shift) / am.out_range
+
+        n = Xs.shape[0]
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(n)
+        n_train = int(st.train_split * n)
+        tr, va = perm[:n_train], perm[n_train:]
+        Xtr, Ytr = jnp.asarray(Xs[tr]), jnp.asarray(Ys[tr])
+        Xva, Yva = jnp.asarray(Xs[va]), jnp.asarray(Ys[va])
+
+        opt = optax.adam(st.learning_rate)
+        opt_state = opt.init(am.params)
+        params = am.params
+
+        def loss_fn(params, xb, yb):
+            pred = am.net.apply(params, xb)
+            return jnp.mean((pred - yb) ** 2)
+
+        @jax.jit
+        def train_step(params, opt_state, xb, yb, lr_mult):
+            loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
+            updates, opt_state = opt.update(
+                jax.tree.map(lambda g: g * lr_mult, grads), opt_state,
+                params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        val_loss_fn = jax.jit(loss_fn)
+        best_val = np.inf
+        patience = 0
+        lr_mult = 1.0
+        bs = st.batch_size
+        steps_per_epoch = max(1, len(tr) // bs)
+        for epoch in range(st.n_epochs):
+            if st.shuffle:
+                order = rng.permutation(len(tr))
+                Xtr = Xtr[jnp.asarray(order)]
+                Ytr = Ytr[jnp.asarray(order)]
+            ep_loss = 0.0
+            for i in range(steps_per_epoch):
+                xb = Xtr[i * bs:(i + 1) * bs]
+                yb = Ytr[i * bs:(i + 1) * bs]
+                params, opt_state, loss = train_step(
+                    params, opt_state, xb, yb, jnp.asarray(lr_mult))
+                ep_loss += float(loss)
+            ep_loss /= steps_per_epoch
+            val = float(val_loss_fn(params, Xva, Yva)) if len(va) else ep_loss
+            self.history["train_loss"].append(ep_loss)
+            self.history["val_loss"].append(val)
+            self.history["lr"].append(lr_mult * st.learning_rate)
+            if st.scheduler_flag:
+                if val < best_val - 1e-12:
+                    best_val = val
+                    patience = 0
+                else:
+                    patience += 1
+                    if patience >= st.scheduler_patience:
+                        lr_mult *= st.scheduler_factor
+                        patience = 0
+            if st.print_frequency and epoch % st.print_frequency == 0:
+                print(f"epoch {epoch}: train {ep_loss:.3e} val {val:.3e}")
+        self.approx_mpc.params = params
+        if st.save_history:
+            os.makedirs(st.results_dir, exist_ok=True)
+            np.savez(os.path.join(st.results_dir, "history.npz"),
+                     **{k: np.asarray(v) for k, v in self.history.items()})
+        return self.history

@@ -657,7 +657,7 @@ class MPC(Optimizer, IteratedVariables):
         self._w_stage, self._g_stage, self._h_stage = (w_stage, g_stage,
                                                        h_stage)
 
-    def _make_structured_solve(self, delta_cons):
+    def _make_structured_solve(self, delta_cons, n_refine=3):
         """Structured KKT backend: instance-local derivative tensors are
         scatter-assembled into stage-band blocks and solved by a block-LU
         sweep (solver/structured.py) — no global matrix is materialized."""
@@ -697,7 +697,7 @@ class MPC(Optimizer, IteratedVariables):
             x = band_solve(lu, U, Lo, rhs)
             # iterative refinement recovers accuracy lost by the unpivoted
             # block elimination on barely-regularized saddle systems
-            for _ in range(3):
+            for _ in range(n_refine):
                 resid = rhs - band_matvec(D, U, Lo, x)
                 x = x + band_solve(lu, U, Lo, resid)
             return assembler.unpack_sol(x)

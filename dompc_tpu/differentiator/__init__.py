@@ -1,1 +1,6 @@
-"""Placeholder — populated in build order (see SURVEY.md §7.2)."""
+"""Parametric NLP sensitivities (reference: do_mpc/differentiator/)."""
+from ._nlpdifferentiator import NLPDifferentiator, DoMPCDifferentiator
+from .helper import NLPDifferentiatorSettings, NLPDifferentiatorStatus
+
+__all__ = ["NLPDifferentiator", "DoMPCDifferentiator",
+           "NLPDifferentiatorSettings", "NLPDifferentiatorStatus"]

@@ -1,0 +1,142 @@
+"""Batched and sharded NMPC solves.
+
+Replaces the reference's sequential sampling studies (SURVEY.md §2.3,
+do_mpc/sampling/_sampler.py:230-242 and
+examples/tools/sampling/multiprocessing/*) with on-device batching: one
+compiled interior-point solve serves a whole batch of (x0, u_prev, p)
+problem instances via ``vmap``; ``shard_map`` over a device mesh scales the
+batch across chips with XLA collectives over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..solver.ipm import make_ipm_solver, IPMSettings
+
+
+def batch_mesh(n_devices=None, axis_name="batch"):
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def initial_guess_from_x0(mpc, x0s):
+    """Per-instance primal initial guess: broadcast each x0 into every state
+    slot (the batched analogue of MPC.set_initial_guess)."""
+    L = mpc.layout
+    n = L.size
+    xs = mpc._x_scaling.data
+    map_x = -np.ones(n, int)
+    for key in L.offsets:
+        if key[0] == "x_node":
+            map_x[L.sl(key)] = np.arange(mpc.model.n_x)
+        elif key[0] == "x_coll":
+            map_x[L.sl(key)] = np.tile(np.arange(mpc.model.n_x),
+                                       mpc.n_total_coll_points)
+    base = np.zeros(n)
+    for key in L.offsets:
+        if key[0] == "u":
+            base[L.sl(key)] = mpc._u0.data / mpc._u_scaling.data
+        elif key[0] == "z":
+            nrep = L.sizes[key] // max(mpc.model.n_z, 1)
+            base[L.sl(key)] = np.tile(
+                mpc._z0.data / mpc._z_scaling.data, nrep)
+    x0s = np.asarray(x0s, dtype=float)
+    scaled = x0s / xs[None, :]
+    w0s = np.tile(base, (x0s.shape[0], 1))
+    mask = map_x >= 0
+    w0s[:, mask] = scaled[:, map_x[mask]]
+    return w0s
+
+
+def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
+                      warm=True, throughput_mode=False):
+    """Return ``solve_batch(x0s, w0s, lam0s=None, zls=None, zus=None)``:
+    a jitted vmapped solver over problem instances of the given MPC.
+
+    ``x0s``: (B, n_x) initial states; ``w0s``: (B, n_w_opt) primal initial
+    guesses (e.g. broadcast of mpc.opt_x_num).  Returns the IPMSolution
+    pytree with a leading batch axis plus the per-instance first input
+    u0 = w[u(0,0)] * scaling.
+
+    ``throughput_mode`` trims the compile/runtime fat (shorter
+    regularization ladder, one refinement pass, no polish) — right for
+    large-batch moderate-tolerance solves on accelerators.
+    """
+    st = mpc.settings
+    if throughput_mode:
+        ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,
+                                   reg_retries=2, do_polish=False)
+        n_refine = 1
+    else:
+        ipm_settings = IPMSettings(tol=tol, max_iter=max_iter)
+        n_refine = 3
+    structured = None
+    if use_structured and hasattr(mpc, "_struct_parts"):
+        structured = mpc._make_structured_solve(ipm_settings.delta_cons,
+                                                n_refine=n_refine)
+    solve = make_ipm_solver(
+        mpc._f_fn, mpc._g_fn, mpc._h_fn,
+        mpc._lb_opt_x, mpc._ub_opt_x,
+        mpc.n_opt_lagr, mpc._n_ineq, settings=ipm_settings,
+        hess_fn=mpc._hess_fn, grad_f_fn=mpc._grad_f_fn,
+        jac_g_fn=mpc._jac_g_fn, jac_h_fn=mpc._jac_h_fn,
+        structured_solve=structured)
+
+    base_pvec = jnp.asarray(mpc._assemble_opt_p(np.zeros(mpc.model.n_x)))
+    x0_sl = mpc._p_sl["x0"]
+    u_sl = mpc.layout.sl(("u", 0, 0))
+    u_scaling = jnp.asarray(mpc._u_scaling.data)
+
+    def one(x0, w0, lam0, mu0):
+        pvec = base_pvec.at[x0_sl].set(x0)
+        sol = solve(w0, pvec, lam0=lam0, mu0=mu0)
+        u0 = sol.w[u_sl] * u_scaling
+        return sol, u0
+
+    def solve_batch(x0s, w0s, lam0s=None, mu0=None):
+        B = x0s.shape[0]
+        if lam0s is None:
+            lam0s = jnp.zeros((B, mpc.n_opt_lagr + mpc._n_ineq),
+                              x0s.dtype)
+            mu0 = jnp.full((B,), ipm_settings.mu_init, x0s.dtype)
+        elif mu0 is None:
+            mu0 = jnp.full((B,), st.warm_start_mu, x0s.dtype)
+        return jax.vmap(one)(x0s, w0s, lam0s, mu0)
+
+    return jax.jit(solve_batch)
+
+
+def make_sharded_solver(mpc, mesh=None, tol=1e-6, max_iter=60,
+                        axis_name="batch", use_structured=True):
+    """Shard the batch axis over a device mesh with ``shard_map``.
+
+    Each device solves its shard with the vmapped solver; the success count
+    is reduced with ``psum`` over ICI so every host sees the global rate.
+    The batch size must divide the mesh size.
+    """
+    shard_map = jax.shard_map
+
+    if mesh is None:
+        mesh = batch_mesh(axis_name=axis_name)
+    solve_batch = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
+                                    use_structured=use_structured)
+
+    def local_solve(x0s, w0s):
+        sol, u0 = solve_batch(x0s, w0s)
+        n_ok = jax.lax.psum(jnp.sum(sol.success.astype(jnp.float32)),
+                            axis_name)
+        return u0, sol.iterations, n_ok
+
+    sharded = shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P()),
+        check_vma=False)
+    return jax.jit(sharded), mesh

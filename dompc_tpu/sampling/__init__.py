@@ -1,1 +1,6 @@
-"""Placeholder — populated in build order (see SURVEY.md §7.2)."""
+"""Sampling / batch-study tooling (reference: do_mpc/sampling/)."""
+from ._samplingplanner import SamplingPlanner
+from ._sampler import Sampler
+from ._datahandler import DataHandler
+
+__all__ = ["SamplingPlanner", "Sampler", "DataHandler"]

@@ -47,6 +47,9 @@ class IPMSettings:
     delta_cons: float = 1e-11   # dual regularization (keeps KKT nonsingular)
     s_max: float = 100.0        # KKT error scaling (IPOPT's s_max)
     debug: bool = False         # jax.debug.print per-iteration diagnostics
+    reg_retries: int = 5        # regularization-ladder length
+    use_soc: bool = True        # second-order correction step
+    do_polish: bool = True      # active-set Newton polish after the loop
 
 
 class IPMState(NamedTuple):
@@ -72,6 +75,9 @@ class IPMSolution(NamedTuple):
     kkt_err: jnp.ndarray
     iterations: jnp.ndarray
     success: jnp.ndarray
+
+
+_TINY = 1e-30  # safe positive floor that survives float32
 
 
 def _safe_div(a, b):
@@ -237,9 +243,9 @@ def make_ipm_solver(
 
         dl_w, dl_s = dist_l(w, s)
         du_w = dist_u(w)
-        dl_w = jnp.maximum(dl_w, 1e-300)
-        du_w = jnp.maximum(du_w, 1e-300)
-        dl_s = jnp.maximum(dl_s, 1e-300)
+        dl_w = jnp.maximum(dl_w, _TINY)
+        du_w = jnp.maximum(du_w, _TINY)
+        dl_s = jnp.maximum(dl_s, _TINY)
 
         sig_w = jnp.where(has_lb, zl[:n] / dl_w, 0.0) \
               + jnp.where(has_ub, zu[:n] / du_w, 0.0)
@@ -253,7 +259,7 @@ def make_ipm_solver(
         r_g = gv
         r_h = hv + s
 
-        inv_sig_s = 1.0 / jnp.maximum(sig_s, 1e-300) if q \
+        inv_sig_s = 1.0 / jnp.maximum(sig_s, _TINY) if q \
             else jnp.zeros((0,), w.dtype)
         r_h_mod = r_h - r_ds * inv_sig_s
 
@@ -321,7 +327,7 @@ def make_ipm_solver(
 
         step = do_solve(prox)
         prev_delta = prox
-        for mult in (10.0, 1e2, 1e3, 1e5, 1e7):
+        for mult in (10.0, 1e2, 1e3, 1e5, 1e7)[:st.reg_retries]:
             bad = need_retry(step, prev_delta)
             delta = jnp.maximum(prox, 1e-8) * mult
             new_step = jax.lax.cond(bad, lambda d=delta: do_solve(d),
@@ -506,8 +512,12 @@ def make_ipm_solver(
                 return (jnp.asarray(False), dw, ds, dlam, dzl, dzu, a_p,
                         a_d)
 
-            soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2, a_d2 = jax.lax.cond(
-                ok_full, no_soc, do_soc, None)
+            if st.use_soc:
+                (soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
+                 a_d2) = jax.lax.cond(ok_full, no_soc, do_soc, None)
+            else:
+                (soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
+                 a_d2) = no_soc(None)
             use_soc = (~ok_full) & soc_ok
 
             def pick(a, b):
@@ -537,13 +547,13 @@ def make_ipm_solver(
             du_w = dist_u(w_n)
             dl = jnp.concatenate([dl_w, dl_s])
             kap = 1e10
-            zl_n = jnp.clip(zl_n, mu_new / (kap * jnp.maximum(dl, 1e-300)),
-                            kap * mu_new / jnp.maximum(dl, 1e-300))
+            zl_n = jnp.clip(zl_n, mu_new / (kap * jnp.maximum(dl, _TINY)),
+                            kap * mu_new / jnp.maximum(dl, _TINY))
             du = jnp.concatenate([du_w, jnp.full((q,), jnp.inf, w.dtype)])
             zu_n = jnp.where(
                 jnp.concatenate([has_ub, jnp.zeros((q,), bool)]),
-                jnp.clip(zu_n, mu_new / (kap * jnp.maximum(du, 1e-300)),
-                         kap * mu_new / jnp.maximum(du, 1e-300)),
+                jnp.clip(zu_n, mu_new / (kap * jnp.maximum(du, _TINY)),
+                         kap * mu_new / jnp.maximum(du, _TINY)),
                 0.0)
 
             if st.debug:
@@ -680,6 +690,11 @@ def make_ipm_solver(
         state = init_state(jnp.asarray(w0), p, lam0=lam0, mu0=mu0,
                            zl0=zl0, zu0=zu0)
         final = solver_loop(state, p)
+        if not st.do_polish:
+            return IPMSolution(
+                w=final.w, s=final.s, lam=final.lam, zl=final.zl,
+                zu=final.zu, f=f(final.w, p), kkt_err=final.kkt_err,
+                iterations=final.it, success=final.converged)
         # polish and keep whichever point has the smaller true KKT error
         err_ipm = kkt_error(final.w, final.s, final.lam, final.zl,
                             final.zu, p, 0.0)

@@ -1,1 +1,4 @@
-"""Placeholder — populated in build order (see SURVEY.md §7.2)."""
+"""System identification tools (reference: do_mpc/sysid/)."""
+from ._onnxconversion import ONNXConversion, ONNXOperations
+
+__all__ = ["ONNXConversion", "ONNXOperations"]

@@ -1,0 +1,53 @@
+"""Batched + sharded solves on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import dompc_tpu as dm
+from dompc_tpu.parallel import make_batch_solver, make_sharded_solver, \
+    batch_mesh
+import systems
+
+
+def _mpc():
+    model = systems.oscillating_masses_model()
+    return systems.oscillating_masses_mpc(model), model
+
+
+def test_batched_solves_match_sequential():
+    mpc, model = _mpc()
+    rng = np.random.default_rng(0)
+    B = 8
+    x0s = rng.uniform(-0.5, 0.5, size=(B, 4))
+    mpc.x0 = x0s[0]
+    mpc.set_initial_guess()
+    w0 = mpc.opt_x_num.copy()
+    solve_batch = make_batch_solver(mpc, tol=1e-8, max_iter=80)
+    sol, u0s = solve_batch(jnp.asarray(x0s),
+                           jnp.asarray(np.tile(w0, (B, 1))))
+    assert bool(jnp.all(sol.success))
+    # sequential reference via make_step
+    for i in range(B):
+        mpc2, _ = _mpc()
+        mpc2.x0 = x0s[i]
+        mpc2.set_initial_guess()
+        u_seq = mpc2.make_step(x0s[i])
+        np.testing.assert_allclose(np.asarray(u0s[i]).reshape(-1),
+                                   u_seq.reshape(-1), atol=1e-6)
+
+
+def test_sharded_solver_8_devices():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    mpc, model = _mpc()
+    mpc.x0 = np.zeros(4)
+    mpc.set_initial_guess()
+    w0 = mpc.opt_x_num.copy()
+    rng = np.random.default_rng(1)
+    B = 16  # 2 per device
+    x0s = rng.uniform(-0.5, 0.5, size=(B, 4))
+    sharded, mesh = make_sharded_solver(mpc, tol=1e-8, max_iter=80)
+    u0s, iters, n_ok = sharded(jnp.asarray(x0s),
+                               jnp.asarray(np.tile(w0, (B, 1))))
+    assert float(n_ok) == B
+    assert u0s.shape == (B, 1)
+    assert np.all(np.abs(np.asarray(u0s)) <= 0.5 + 1e-9)

@@ -1,0 +1,149 @@
+"""Sampling tools, NLP differentiator, approximate MPC, graphics."""
+import os
+
+import numpy as np
+import pytest
+
+import dompc_tpu as dm
+from golden import load_golden
+import systems
+
+
+def test_sampling_tools_golden(tmp_path):
+    """Mirrors the reference sampling_test example
+    (examples/tools/sampling/regular/test_fun/sampling_test.py) and checks
+    against the golden pickle."""
+    np.random.seed(123)
+    sp = dm.sampling.SamplingPlanner()
+    sp.set_param(overwrite=True)
+    sp.data_dir = str(tmp_path) + "/"
+    sp.set_sampling_var("alpha", lambda: np.random.randn())
+    sp.set_sampling_var("beta", lambda: np.random.randint(0, 5))
+    sp.gen_sampling_plan(n_samples=10)
+    sp.add_sampling_case(alpha=10)
+    sp.add_sampling_case(beta=10)
+    plan = sp.add_sampling_case(alpha=2, beta=2)
+
+    sampler = dm.sampling.Sampler(plan)
+    sampler.set_param(overwrite=True, print_progress=False)
+    sampler.data_dir = str(tmp_path) + "/"
+    sampler.set_sample_function(lambda alpha, beta: alpha * beta)
+    sampler.sample_data()
+
+    dh = dm.sampling.DataHandler(plan)
+    dh.data_dir = str(tmp_path) + "/"
+    dh.set_post_processing("res_1", lambda x: x)
+    dh.set_post_processing("res_2", lambda x: x ** 2)
+    res = dh[:]
+    res1 = dh.filter(input_filter=lambda alpha: alpha < 0)
+    res2 = dh.filter(output_filter=lambda res_1: res_1 < 0)
+
+    import pickle
+    with open("/root/reference/testing/results/"
+              "res_sampling_test_test_fun.pkl", "rb") as f:
+        ref = pickle.load(f)
+    assert res == ref["res"]
+    assert res1 == ref["res1"]
+    assert res2 == ref["res2"]
+
+
+def test_differentiator_finite_difference():
+    """du*/dx0 from the IFT differentiator vs finite differences."""
+    model = systems.oscillating_masses_model()
+    mpc = systems.oscillating_masses_mpc(model)
+    np.random.seed(99)
+    x0 = np.random.rand(4) - 0.5
+    mpc.x0 = x0
+    mpc.set_initial_guess()
+    mpc.make_step(x0)
+
+    diff = dm.differentiator.DoMPCDifferentiator(mpc)
+    dx_dp, _ = diff.differentiate()
+    u_sl = mpc.layout.sl(("u", 0, 0))
+    x0_sl = mpc._p_sl["x0"]
+    du_dx0 = dx_dp[u_sl, x0_sl]
+
+    # finite differences over fresh solves
+    eps = 1e-5
+    du_fd = np.zeros((model.n_u, model.n_x))
+    for i in range(model.n_x):
+        us = []
+        for sgn in (+1, -1):
+            m2 = systems.oscillating_masses_mpc(
+                systems.oscillating_masses_model())
+            x0p = x0.copy()
+            x0p[i] += sgn * eps
+            m2.x0 = x0p
+            m2.set_initial_guess()
+            us.append(m2.make_step(x0p).reshape(-1))
+        du_fd[:, i] = (us[0] - us[1]) / (2 * eps)
+    # u0 is at its bound (0.5) for this x0? pick tolerance accordingly
+    np.testing.assert_allclose(du_dx0, du_fd, atol=5e-4)
+
+
+def test_approx_mpc_pipeline(tmp_path):
+    """Box sampling -> batched solves -> training -> policy evaluation
+    (reference: examples/CSTR_approximate_mpc flow)."""
+    model = systems.oscillating_masses_model()
+    mpc = systems.oscillating_masses_mpc(model)
+
+    sampler_settings = dm.approximateMPC.AMPCSamplerSettings(
+        n_samples=64, data_dir=str(tmp_path))
+    sampler = dm.approximateMPC.AMPCSampler(mpc, sampler_settings)
+    # box corners of this hard-constrained problem are infeasible (tiny
+    # input authority); sample a 30% sub-box like a practical user would
+    x_lb, x_ub = mpc._x_lb.data, mpc._x_ub.data
+    plan = sampler.default_sampling_plan(
+        seed=0, lbx=0.3 * x_lb, ubx=0.3 * x_ub)
+    X, U_prev, U, OK = sampler.sample_open_loop_batched(
+        plan, batch_size=32, tol=1e-6, max_iter=80)
+    assert OK.mean() > 0.9
+    full, opt = sampler.save_dataset(X, U_prev, U, OK)
+
+    approx = dm.approximateMPC.ApproxMPC(mpc)
+    trainer_settings = dm.approximateMPC.TrainerSettings(
+        n_epochs=300, batch_size=32, learning_rate=3e-3,
+        print_frequency=0)
+    trainer = dm.approximateMPC.Trainer(approx, trainer_settings)
+    hist = trainer.default_training(opt["x0"], opt["u_opt"],
+                                    U_prev=opt["u_prev"], seed=0)
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+    # policy should approximate the MPC on a training point
+    i = int(np.nonzero(OK)[0][0])
+    u_pi = approx.make_step(X[i], u_prev=U_prev[i])
+    assert np.max(np.abs(u_pi.reshape(-1) - U[i])) < 0.2
+    # save / load round trip
+    path = os.path.join(str(tmp_path), "policy.pkl")
+    approx.save_to_state_dict(path)
+    approx.load_from_state_dict(path)
+
+
+def test_graphics_smoke(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    model = systems.oscillating_masses_model()
+    mpc = systems.oscillating_masses_mpc(model)
+    sim = dm.Simulator(model)
+    sim.set_param(t_step=0.5)
+    sim.setup()
+    np.random.seed(99)
+    x0 = np.random.rand(4) - 0.5
+    mpc.x0 = x0
+    sim.x0 = x0
+    mpc.set_initial_guess()
+    for _ in range(3):
+        u0 = mpc.make_step(x0)
+        x0 = sim.make_step(u0).reshape(-1)
+
+    fig, ax = plt.subplots(2)
+    g = dm.graphics.Graphics(mpc.data)
+    g.add_line("_x", "x", ax[0])
+    g.add_line("_u", "u", ax[1])
+    g.plot_results()
+    g.plot_predictions(t_ind=-1)
+    g.reset_axes()
+    fig2, axes2, g2 = dm.graphics.default_plot(sim.data)
+    plt.close("all")
