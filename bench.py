@@ -41,8 +41,9 @@ def main():
     x0s = x0[None, :] * (1.0 + 0.02 * rng.standard_normal((B, 4)))
     x0s = np.clip(x0s, [0.15, 0.15, 55, 55], [1.9, 1.9, 139.5, 139.5])
 
-    tol = float(os.environ.get("DOMPC_BENCH_TOL", "1e-4"))
-    max_iter = int(os.environ.get("DOMPC_BENCH_ITERS", "40"))
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    tol = float(os.environ.get("DOMPC_BENCH_TOL", "1e-3"))
+    max_iter = int(os.environ.get("DOMPC_BENCH_ITERS", "60"))
     solve_batch = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
                                     throughput_mode=True)
 

@@ -662,7 +662,8 @@ class MPC(Optimizer, IteratedVariables):
         scatter-assembled into stage-band blocks and solved by a block-LU
         sweep (solver/structured.py) — no global matrix is materialized."""
         from ..solver.structured import (BlockAssembler, band_factor,
-                                         band_solve, band_matvec)
+                                         band_solve, band_matvec,
+                                         band_solve_qr)
         sp = self._struct_parts
         inst_stage = np.array([i["k"] for i in self._instances], int)
         assembler = BlockAssembler(
@@ -693,13 +694,18 @@ class MPC(Optimizer, IteratedVariables):
                 -delta_cons * jnp.ones((m,), w.dtype),
                 -inv_sig_s - delta_cons)
             rhs = assembler.pack_rhs(-r_dw, -r_g, -r_h_mod)
-            lu = band_factor(D, U, Lo)
-            x = band_solve(lu, U, Lo, rhs)
-            # iterative refinement recovers accuracy lost by the unpivoted
-            # block elimination on barely-regularized saddle systems
-            for _ in range(n_refine):
-                resid = rhs - band_matvec(D, U, Lo, x)
-                x = x + band_solve(lu, U, Lo, resid)
+            if w.dtype == jnp.float32:
+                # float32: pivot-free block QR (bounded growth, no
+                # refinement needed) — the MXU-friendly stable path
+                x = band_solve_qr(D, U, Lo, rhs)
+            else:
+                lu = band_factor(D, U, Lo)
+                x = band_solve(lu, U, Lo, rhs)
+                # refinement recovers accuracy lost by the unpivoted block
+                # elimination on barely-regularized saddle systems
+                for _ in range(n_refine):
+                    resid = rhs - band_matvec(D, U, Lo, x)
+                    x = x + band_solve(lu, U, Lo, resid)
             return assembler.unpack_sol(x)
 
         return structured_solve

@@ -221,6 +221,74 @@ def band_factor(D, U, Lo):
         lambda a, t: jnp.concatenate([a[None], t], axis=0), lu0, lu_tail)
 
 
+def band_solve_qr(D, U, Lo, rhs):
+    """Stable pivot-free block-tridiagonal solve via sequential block QR
+    (banded QR elimination, Golub/Van Loan).  Unlike the unpivoted block-LU
+    sweep, orthogonal elimination has bounded growth — this is what keeps
+    float32 TPU solves alive on barely-regularized interior-point KKT
+    systems; the QR panels are matmul-heavy and MXU-friendly.
+
+    Fill-in extends one extra super-diagonal: stored per stage as
+    (R_k, B_k, C_k, c_k) with back substitution
+    x_k = R_k^-1 (c_k - B_k x_{k+1} - C_k x_{k+2}).
+    """
+    S, b = rhs.shape
+    solve_tri = jax.scipy.linalg.solve_triangular
+
+    def step(carry, inp):
+        Dhat, Uhat, rhat = carry
+        L_k, D_n, U_n, r_n = inp
+        col_k = jnp.concatenate([Dhat, L_k], axis=0)          # (2b, b)
+        rest = jnp.concatenate([
+            jnp.concatenate([Uhat, jnp.zeros((b, b), Dhat.dtype),
+                             rhat[:, None]], axis=1),
+            jnp.concatenate([D_n, U_n, r_n[:, None]], axis=1)], axis=0)
+        Q, R = jnp.linalg.qr(col_k, mode="complete")           # (2b,2b),(2b,b)
+        rest_t = Q.T @ rest
+        R_k = R[:b]
+        B_k = rest_t[:b, :b]
+        C_k = rest_t[:b, b:2 * b]
+        c_k = rest_t[:b, 2 * b]
+        Dhat_n = rest_t[b:, :b]
+        Uhat_n = rest_t[b:, b:2 * b]
+        rhat_n = rest_t[b:, 2 * b]
+        return (Dhat_n, Uhat_n, rhat_n), (R_k, B_k, C_k, c_k)
+
+    zero = jnp.zeros((b, b), rhs.dtype)
+    init = (D[0], U[0] if S > 1 else zero, rhs[0])
+    if S > 1:
+        U_ext = jnp.concatenate([U[1:], zero[None]], axis=0) \
+            if S > 2 else zero[None]
+        (Dh, Uh, rh), (Rs, Bs, Cs, cs) = jax.lax.scan(
+            step, init, (Lo, D[1:], U_ext, rhs[1:]))
+    else:
+        Dh, Uh, rh = init
+        Rs = jnp.zeros((0, b, b), rhs.dtype)
+        Bs = jnp.zeros((0, b, b), rhs.dtype)
+        Cs = jnp.zeros((0, b, b), rhs.dtype)
+        cs = jnp.zeros((0, b), rhs.dtype)
+
+    # last stage: dense QR solve
+    Qf, Rf = jnp.linalg.qr(Dh, mode="complete")
+    x_last = solve_tri(Rf, Qf.T @ rh, lower=False)
+
+    def bwd(carry, inp):
+        x_next, x_next2 = carry
+        R_k, B_k, C_k, c_k = inp
+        x_k = solve_tri(R_k, c_k - B_k @ x_next - C_k @ x_next2,
+                        lower=False)
+        return (x_k, x_next), x_k
+
+    if S > 1:
+        (x0_, _), xs_rev = jax.lax.scan(
+            bwd, (x_last, jnp.zeros((b,), rhs.dtype)),
+            (Rs[::-1], Bs[::-1], Cs[::-1], cs[::-1]))
+        xs = jnp.concatenate([xs_rev[::-1], x_last[None]], axis=0)
+    else:
+        xs = x_last[None]
+    return xs
+
+
 def band_solve(lu_all, U, Lo, rhs):
     """Solve with precomputed factors; rhs/result shape (S, b)."""
     lu_solve = jax.scipy.linalg.lu_solve
