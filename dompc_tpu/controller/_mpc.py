@@ -810,7 +810,7 @@ class MPC(Optimizer, IteratedVariables):
         else:
             sol = self._solve_jit(
                 jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
-        w = np.asarray(sol.w)
+        w = np.array(sol.w)
         self.opt_x_num = w
         self.opt_x_num_unscaled = w * self.opt_x_scaling
         self._lam_warm = np.asarray(sol.lam)
@@ -842,6 +842,19 @@ class MPC(Optimizer, IteratedVariables):
 
         L = self.layout
         us = self._u_scaling.data
+        # Integer inputs (reference delegates to BONMIN, _mpc.py:1317-1324):
+        # here the continuous relaxation is rounded — a documented
+        # approximation, exact whenever the relaxation is near-integral.
+        if self.model.integer_u:
+            u_spec = self.model.spec("_u")
+            int_mask = np.zeros(self.model.n_u, bool)
+            for name in self.model.integer_u:
+                int_mask[u_spec.slice(name)] = True
+            for key in L.offsets:
+                if key[0] == "u":
+                    blk = self.opt_x_num[L.sl(key)] * us
+                    blk[int_mask] = np.round(blk[int_mask])
+                    self.opt_x_num[L.sl(key)] = blk / us
         u0 = self.opt_x_num[L.sl(("u", 0, 0))] * us
         if self.model.n_z:
             z0 = self.opt_x_num[L.idx(("z", 0, 0))[:self.model.n_z]] \

@@ -546,7 +546,7 @@ class MHE(Optimizer, IteratedVariables):
         else:
             sol = self._solve_jit(
                 jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
-        self.opt_x_num = np.asarray(sol.w)
+        self.opt_x_num = np.array(sol.w)
         self.opt_x_num_unscaled = self.opt_x_num * self.opt_x_scaling
         self._lam_warm = np.asarray(sol.lam)
         self._zl_warm = np.asarray(sol.zl)

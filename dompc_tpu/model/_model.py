@@ -88,14 +88,17 @@ class Model:
 
     # ------------------------------------------------------------------ API
     def set_variable(self, var_type: str, var_name: str, shape=(1, 1),
-                     integer: bool = False) -> Sym:
-        """Register a new variable (reference: model/_model.py:537)."""
+                     integer: bool = False,
+                     input_type_integer: bool = False) -> Sym:
+        """Register a new variable (reference: model/_model.py:537).
+        ``input_type_integer`` flags an integer input (reference MINLP
+        plumbing, model/_model.py:127-128,618)."""
         assert not self.flags["setup"], "Cannot set_variable after setup()."
         vt = _ALIASES.get(var_type)
         if vt is None:
             raise ValueError(f"unknown var_type {var_type!r}")
         self._specs[vt].add(var_name, shape)
-        if vt == "_u" and integer:
+        if vt == "_u" and (integer or input_type_integer):
             self.integer_u.append(var_name)
         return casym.var(vt, var_name)
 
