@@ -759,6 +759,11 @@ class MPC(Optimizer, IteratedVariables):
         self.data.init_storage()
 
     # ------------------------------------------------------------ runtime --
+    def reset_history(self):
+        """Clear logged data and reset time (reference API)."""
+        self._t0 = np.array([0.0])
+        self.data.init_storage()
+
     def set_initial_guess(self):
         """Broadcast x0/u0/z0 into the decision vector
         (reference: _mpc.py:955)."""

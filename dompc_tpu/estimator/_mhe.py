@@ -505,6 +505,11 @@ class MHE(Optimizer, IteratedVariables):
         self.data.init_storage()
 
     # ------------------------------------------------------------ runtime
+    def reset_history(self):
+        """Clear logged data and reset time (reference API)."""
+        self._t0 = np.array([0.0])
+        self.data.init_storage()
+
     def set_initial_guess(self):
         assert self.flags["setup"], "MHE was not setup yet."
         L = self.layout

@@ -144,6 +144,11 @@ class Simulator(IteratedVariables):
         self.flags["setup"] = True
         return self
 
+    def reset_history(self):
+        """Clear logged data and reset time (reference API)."""
+        self._t0 = np.zeros(1)
+        self.data.init_storage()
+
     def set_initial_guess(self):
         """Set z initial guess from z0 (reference: simulator.py:~600)."""
         self._z_guess = self._z0.data.copy()
