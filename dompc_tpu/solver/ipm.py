@@ -180,7 +180,9 @@ def make_ipm_solver(
         return vio
 
     # -- KKT error ---------------------------------------------------------
-    def kkt_error(w, s, lam, zl, zu, p, mu):
+    def kkt_residuals(w, s, lam, zl, zu, p):
+        """Mu-independent residual summary; errors for any mu derive from it
+        cheaply (one evaluation serves err_mu / err_0 / err_{mu_new})."""
         gf = grad_f(w, p)
         lam_g = lam[:m]
         lam_h = lam[m:]
@@ -192,28 +194,31 @@ def make_ipm_solver(
         r_p = jnp.concatenate([gv, hv + s])
         dl_w, dl_s = dist_l(w, s)
         du_w = dist_u(w)
-        c_l = jnp.concatenate([
-            jnp.where(has_lb, dl_w * zl[:n] - mu, 0.0),
-            dl_s * zl[n:] - mu])
-        c_u = jnp.where(has_ub, du_w * zu[:n] - mu, 0.0)
-
+        comp_l = jnp.concatenate([
+            jnp.where(has_lb, dl_w * zl[:n], 0.0), dl_s * zl[n:]])
+        mask_l = jnp.concatenate([has_lb, jnp.ones((q,), bool)])
+        comp_u = jnp.where(has_ub, du_w * zu[:n], 0.0)
         z_sum = jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu))
         lam_sum = jnp.sum(jnp.abs(lam))
         denom = n + q + m
-        s_d = jnp.maximum(st.s_max,
-                          (lam_sum + z_sum) / jnp.maximum(denom, 1)) / st.s_max
+        s_d = jnp.maximum(st.s_max, (lam_sum + z_sum)
+                          / jnp.maximum(denom, 1)) / st.s_max
         s_c = jnp.maximum(st.s_max,
                           z_sum / jnp.maximum(n + q, 1)) / st.s_max
         err_d = jnp.max(jnp.abs(jnp.concatenate([r_dw, r_ds]))) / s_d
         err_p = jnp.max(jnp.abs(r_p)) if (m + q) else jnp.asarray(0.0)
+        return (err_d, err_p, comp_l, mask_l, comp_u, s_c)
+
+    def err_from(res, mu):
+        err_d, err_p, comp_l, mask_l, comp_u, s_c = res
+        c_l = jnp.where(mask_l, comp_l - mu, 0.0)
+        c_u = jnp.where(has_ub, comp_u - mu, 0.0)
         err_c = jnp.maximum(jnp.max(jnp.abs(c_l), initial=0.0),
                             jnp.max(jnp.abs(c_u), initial=0.0)) / s_c
-        if st.debug:
-            jax.debug.print(
-                "    kkt(mu={mu:.1e}): d={d:.2e}@{di} p={pp:.2e} c={c:.2e}",
-                mu=mu, d=err_d, di=jnp.argmax(jnp.abs(r_dw)), pp=err_p,
-                c=err_c)
         return jnp.maximum(jnp.maximum(err_d, err_p), err_c)
+
+    def kkt_error(w, s, lam, zl, zu, p, mu):
+        return err_from(kkt_residuals(w, s, lam, zl, zu, p), mu)
 
     # -- dense KKT solve ---------------------------------------------------
     def dense_kkt(Hw, Sig_w, Jg, Jh, inv_sig_s, r_dw, r_g, r_h_mod, delta):
@@ -462,8 +467,9 @@ def make_ipm_solver(
 
         def body(stt: IPMState):
             w, s, lam, zl, zu, mu = stt.w, stt.s, stt.lam, stt.zl, stt.zu, stt.mu
-            err_mu = kkt_error(w, s, lam, zl, zu, p, mu)
-            err_0 = kkt_error(w, s, lam, zl, zu, p, 0.0)
+            res0 = kkt_residuals(w, s, lam, zl, zu, p)
+            err_mu = err_from(res0, mu)
+            err_0 = err_from(res0, 0.0)
 
             # barrier update when the inner problem is solved
             shrink = err_mu <= st.kappa_eps * mu
@@ -483,7 +489,7 @@ def make_ipm_solver(
             # acceptance: merit test OR direct KKT-error decrease (the
             # latter is what matters near the central path, where the l1
             # merit is too conservative once primal feasibility ~ 0)
-            err_ref = kkt_error(w, s, lam, zl, zu, p, mu_new)
+            err_ref = err_from(res0, mu_new)
 
             def kkt_decrease(alpha, dw_, ds_, dlam_, dzl_, dzu_, a_d_):
                 w_t = w + alpha * dw_
