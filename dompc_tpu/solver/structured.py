@@ -238,20 +238,22 @@ def band_solve_qr(D, U, Lo, rhs):
     def step(carry, inp):
         Dhat, Uhat, rhat = carry
         L_k, D_n, U_n, r_n = inp
-        col_k = jnp.concatenate([Dhat, L_k], axis=0)          # (2b, b)
-        rest = jnp.concatenate([
-            jnp.concatenate([Uhat, jnp.zeros((b, b), Dhat.dtype),
+        # One R-only QR of the augmented (2b, 3b+1) panel replaces
+        # Q-formation + matmul: the trailing reflections only recombine the
+        # not-yet-finalized rows orthogonally, which preserves the system.
+        M = jnp.concatenate([
+            jnp.concatenate([Dhat, Uhat, jnp.zeros((b, b), Dhat.dtype),
                              rhat[:, None]], axis=1),
-            jnp.concatenate([D_n, U_n, r_n[:, None]], axis=1)], axis=0)
-        Q, R = jnp.linalg.qr(col_k, mode="complete")           # (2b,2b),(2b,b)
-        rest_t = Q.T @ rest
-        R_k = R[:b]
-        B_k = rest_t[:b, :b]
-        C_k = rest_t[:b, b:2 * b]
-        c_k = rest_t[:b, 2 * b]
-        Dhat_n = rest_t[b:, :b]
-        Uhat_n = rest_t[b:, b:2 * b]
-        rhat_n = rest_t[b:, 2 * b]
+            jnp.concatenate([L_k, D_n, U_n, r_n[:, None]], axis=1)],
+            axis=0)
+        R = jnp.linalg.qr(M, mode="r")                     # (2b, 3b+1)
+        R_k = R[:b, :b]
+        B_k = R[:b, b:2 * b]
+        C_k = R[:b, 2 * b:3 * b]
+        c_k = R[:b, 3 * b]
+        Dhat_n = R[b:, b:2 * b]
+        Uhat_n = R[b:, 2 * b:3 * b]
+        rhat_n = R[b:, 3 * b]
         return (Dhat_n, Uhat_n, rhat_n), (R_k, B_k, C_k, c_k)
 
     zero = jnp.zeros((b, b), rhs.dtype)
@@ -268,9 +270,10 @@ def band_solve_qr(D, U, Lo, rhs):
         Cs = jnp.zeros((0, b, b), rhs.dtype)
         cs = jnp.zeros((0, b), rhs.dtype)
 
-    # last stage: dense QR solve
-    Qf, Rf = jnp.linalg.qr(Dh, mode="complete")
-    x_last = solve_tri(Rf, Qf.T @ rh, lower=False)
+    # last stage: dense QR solve (R-only on the augmented panel)
+    Rf = jnp.linalg.qr(jnp.concatenate([Dh, rh[:, None]], axis=1),
+                       mode="r")
+    x_last = solve_tri(Rf[:b, :b], Rf[:b, b], lower=False)
 
     def bwd(carry, inp):
         x_next, x_next2 = carry
