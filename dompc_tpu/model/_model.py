@@ -322,6 +322,15 @@ class Model:
         shape = self._specs[vt].shapes[name]
         return (shape[0],) if shape[1] == 1 else shape
 
+    def __getstate__(self):
+        # The reference pickles SX models (model/_model.py:130-161).  Our
+        # expressions are closures and cannot be pickled yet; planned via
+        # declarative op-tree Syms.  Fail loudly rather than silently.
+        raise NotImplementedError(
+            "Model pickling is not supported yet: expressions are traced "
+            "closures. Re-create the model from its builder function "
+            "(roadmap: op-tree Sym serialization).")
+
     # ------------------------------------------------------------ linearize
     def get_linear_system_matrices(self, xss=None, uss=None, zss=None,
                                    pss=None, tvpss=None):

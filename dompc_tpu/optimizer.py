@@ -345,6 +345,19 @@ class Optimizer:
             return jnp.dot(jnp.asarray(eps_penalty), eps)
         self._epsterm_fun = epsterm_fun
 
+    def compile_nlp(self, overwrite=False, cname=None, libname=None,
+                    compiler_command=None):
+        """API-compatibility shim for the reference's experimental gcc
+        codegen (do_mpc/optimizer.py:678-729).  XLA compilation is intrinsic
+        here — every solve is already native code; the persistent JAX
+        compilation cache plays the role of the cached ``.so``."""
+        import jax as _jax
+        try:
+            _jax.config.update("jax_compilation_cache_dir",
+                               "/tmp/jax_cache")
+        except Exception:
+            pass
+
     # --------------------------------------------------------------- tvp/p --
     def get_tvp_template(self):
         """NumStruct over (n_horizon+1) x tvp entries
