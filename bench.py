@@ -65,18 +65,40 @@ def main():
     success_rate = float(jnp.mean(sol.success.astype(jnp.float32)))
     mean_iters = float(jnp.mean(sol.iterations.astype(jnp.float32)))
 
+    # warm-started receding-horizon mode: previous primal/dual solution,
+    # slightly moved x0 (this is how MPC actually runs; the IPOPT baseline
+    # rate is a warm rate as well)
+    X_w = X * (1.0 + 1e-3)
+    W_w = sol.w
+    L_w = sol.lam
+    M_w = jnp.full((B,), 1e-4, X.dtype)
+    sol_w, u0s_w = solve_batch(X_w, W_w, L_w, M_w)
+    u0s_w.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sol_w, u0s_w = solve_batch(X_w, W_w, L_w, M_w)
+        u0s_w.block_until_ready()
+    wall_w = time.perf_counter() - t0
+    warm_solves_per_s = B * reps / wall_w
+    warm_iters = float(jnp.mean(sol_w.iterations.astype(jnp.float32)))
+    warm_success = float(jnp.mean(sol_w.success.astype(jnp.float32)))
+
     baseline_ipopt_solves_per_s = 15.0
     print(json.dumps({
         "metric": "CSTR_robust_N20_batched_NMPC_solves_per_s",
-        "value": round(solves_per_s, 3),
+        "value": round(warm_solves_per_s, 3),
         "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_s / baseline_ipopt_solves_per_s, 3),
+        "vs_baseline": round(warm_solves_per_s
+                             / baseline_ipopt_solves_per_s, 3),
+        "cold_solves_per_s": round(solves_per_s, 3),
         "batch": B,
         "reps": reps,
         "backend": backend,
         "device": str(jax.devices()[0]),
         "success_rate": round(success_rate, 3),
+        "warm_success_rate": round(warm_success, 3),
         "mean_iterations": round(mean_iters, 1),
+        "warm_iterations": round(warm_iters, 1),
         "tol": tol,
         "compile_plus_first_s": round(compile_and_first, 1),
         "baseline_assumption": "IPOPT+MUMPS ~15 warm solves/s single core",
