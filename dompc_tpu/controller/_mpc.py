@@ -657,20 +657,83 @@ class MPC(Optimizer, IteratedVariables):
         self._w_stage, self._g_stage, self._h_stage = (w_stage, g_stage,
                                                        h_stage)
 
-    def _make_structured_solve(self, delta_cons, n_refine=3):
+    def _chain_assignment(self):
+        """Chain/stage assignment of every variable, row and instance for
+        the bordered-block-diagonal KKT factorization (solver/bbd.py).
+
+        Leaf-scenario chains start where the scenario tree stops branching
+        (``nscen[k] == n_max``); everything shared across chains — tree
+        ancestors, open-loop inputs, single-slack eps — lands in the root
+        border.  Proposals are validated against actual instance usage
+        (``demote_by_usage``), so any coupling pattern the transcription
+        emits is representable."""
+        from ..solver.bbd import demote_by_usage, ROOT
+        L = self.layout
+        tree = self.scenario_tree
+        nscen = tree["n_scenarios"]
+        n_max = nscen[-1]
+        N = self.settings.n_horizon
+        k0 = next(k for k in range(N + 1) if nscen[k] == n_max)
+        shift = max(k0 - 1, 0)
+        open_loop = self.settings.open_loop and n_max > 1
+
+        var_chain = np.full(L.size, ROOT, int)
+        var_stage = np.zeros(L.size, int)
+        for key in L.offsets:
+            kind, k = key[0], key[1]
+            if kind == "x_node":
+                ch = key[2] if nscen[k] == n_max else ROOT
+            elif kind == "u":
+                ch = key[2] if (not open_loop and nscen[k] == n_max) \
+                    else ROOT
+            elif kind == "eps":
+                ch = key[2] if (nscen[k] == n_max
+                                and key[2] < n_max) else ROOT
+            elif kind in ("x_coll", "z"):
+                ch = key[2] if nscen[k + 1] == n_max else ROOT
+            else:
+                ch = ROOT
+            sl = L.sl(key)
+            var_chain[sl] = ch
+            var_stage[sl] = max(k - shift, 0) if ch != ROOT else 0
+
+        inst_chain = np.array([
+            i["c"] if nscen[i["k"] + 1] == n_max else ROOT
+            for i in self._instances], int)
+        inst_stage = np.array([max(i["k"] - shift, 0)
+                               for i in self._instances], int)
+        var_chain, var_stage = demote_by_usage(
+            var_chain, var_stage, self._A_all, L.size, inst_chain,
+            inst_stage)
+
+        E, nlr = self._rows_per_inst, self._nl_rows_per_inst
+        n_x = self.model.n_x
+        init_cols = L.idx(("x_node", 0, 0))
+        g_chain = np.concatenate([
+            np.full(n_x, var_chain[init_cols[0]]),
+            np.repeat(inst_chain, E)])
+        g_stage = np.concatenate([
+            np.full(n_x, var_stage[init_cols[0]]),
+            np.repeat(inst_stage, E)])
+        h_chain = np.repeat(inst_chain, nlr)
+        h_stage = np.repeat(inst_stage, nlr)
+        return (var_chain, var_stage, g_chain, g_stage, h_chain, h_stage,
+                init_cols)
+
+    def _make_structured_solve(self, delta_cons, n_refine=1):
         """Structured KKT backend: instance-local derivative tensors are
-        scatter-assembled into stage-band blocks and solved by a block-LU
-        sweep (solver/structured.py) — no global matrix is materialized."""
-        from ..solver.structured import (BlockAssembler, band_factor,
-                                         band_solve, band_matvec,
-                                         band_solve_qr)
+        scatter-assembled into per-scenario-chain band blocks plus a root
+        border and solved by batched multi-RHS block-QR sweeps with a
+        Schur complement on the root (solver/bbd.py) — no global matrix is
+        ever materialized."""
+        from ..solver.bbd import BBDAssembler, bbd_solve
         sp = self._struct_parts
-        inst_stage = np.array([i["k"] for i in self._instances], int)
-        assembler = BlockAssembler(
-            self._w_stage, self._g_stage, self._h_stage, inst_stage,
+        (var_chain, var_stage, g_chain, g_stage, h_chain, h_stage,
+         init_cols) = self._chain_assignment()
+        assembler = BBDAssembler(
+            var_chain, var_stage, g_chain, g_stage, h_chain, h_stage,
             self._A_all, sp["R_g"], sp["R_h"],
-            self.n_opt_x, self.n_opt_lagr, self._n_ineq,
-            self.layout.idx(("x_node", 0, 0)))
+            self.n_opt_x, self.n_opt_lagr, self._n_ineq, init_cols)
         self._kkt_structure = assembler
         gather = sp["gather"]
         d_g, d_h, d2_lag = sp["d_g"], sp["d_h"], sp["d2_lag"]
@@ -689,24 +752,19 @@ class MPC(Optimizer, IteratedVariables):
             Jg_i = jax.vmap(d_g)(V, tvp, p)
             Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
                     else jnp.zeros((I, 0, sp["d"]), w.dtype))
-            D, U, Lo = assembler.assemble(
+            D, U, Lo, Bord, Root = assembler.assemble(
                 Hi, Jg_i, Jh_i, sig_w + delta,
                 -delta_cons * jnp.ones((m,), w.dtype),
                 -inv_sig_s - delta_cons)
-            rhs = assembler.pack_rhs(-r_dw, -r_g, -r_h_mod)
-            if w.dtype == jnp.float32:
-                # float32: pivot-free block QR (bounded growth, no
-                # refinement needed) — the MXU-friendly stable path
-                x = band_solve_qr(D, U, Lo, rhs)
-            else:
-                lu = band_factor(D, U, Lo)
-                x = band_solve(lu, U, Lo, rhs)
-                # refinement recovers accuracy lost by the unpivoted block
-                # elimination on barely-regularized saddle systems
-                for _ in range(n_refine):
-                    resid = rhs - band_matvec(D, U, Lo, x)
-                    x = x + band_solve(lu, U, Lo, resid)
-            return assembler.unpack_sol(x)
+            rhs_c, rhs_r = assembler.pack_rhs(-r_dw, -r_g, -r_h_mod)
+            # block-QR sweeps are pivot-free with bounded growth, so no
+            # refinement is needed in float32 (the IPM's inexact-Newton
+            # acceptance absorbs the rest); float64 golden runs take one
+            # refinement pass to reach IPOPT-matching accuracy
+            n_ref = 0 if w.dtype == jnp.float32 else n_refine
+            x_c, x_r = bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r,
+                                 n_refine=n_ref)
+            return assembler.unpack_sol(x_c, x_r)
 
         return structured_solve
 

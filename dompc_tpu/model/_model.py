@@ -56,8 +56,9 @@ class SymView:
 
     @property
     def cat(self) -> Sym:
-        vt, spec = self._var_type, self._spec
-        return Sym(lambda env: spec.pack(env[vt], xp=jnp))
+        spec = self._spec
+        return casym.pack_var(self._var_type, spec.names,
+                              [spec.shapes[n] for n in spec.names])
 
     def __repr__(self):
         return f"SymView({self._var_type}: {self._spec.names})"
@@ -238,6 +239,15 @@ class Model:
             f"Number of algebraic equations ({n_alg}) must match number of "
             f"algebraic variables n_z ({self.n_z}).")
 
+        self._build_functions()
+        self.flags["setup"] = True
+        return self
+
+    def _build_functions(self):
+        """Build the flat jit-able rhs/alg/meas/aux functions and Jacobian
+        oracles from the declarative expression dicts.  Factored out of
+        ``setup()`` so unpickling can rebuild them (the expressions pickle
+        as op-trees; the compiled closures do not)."""
         specs = self._specs
         rhs, rhs_noise = self._rhs, self._rhs_has_noise
         alg_list = self._alg_list
@@ -295,9 +305,6 @@ class Model:
         self._C_fun = jax.jacfwd(_meas_fun, argnums=0)
         self._D_fun = jax.jacfwd(_meas_fun, argnums=1)
 
-        self.flags["setup"] = True
-        return self
-
     def _expr_shape(self, expr, extra_specs=None):
         """Shape of an expression evaluated on zeros (via jax.eval_shape).
         ``extra_specs``: optional {env_key: StructSpec} for non-model
@@ -323,13 +330,21 @@ class Model:
         return (shape[0],) if shape[1] == 1 else shape
 
     def __getstate__(self):
-        # The reference pickles SX models (model/_model.py:130-161).  Our
-        # expressions are closures and cannot be pickled yet; planned via
-        # declarative op-tree Syms.  Fail loudly rather than silently.
-        raise NotImplementedError(
-            "Model pickling is not supported yet: expressions are traced "
-            "closures. Re-create the model from its builder function "
-            "(roadmap: op-tree Sym serialization).")
+        """Pickle the declarative state; compiled closures are rebuilt on
+        unpickle (reference pickles SX models with expression re-binding,
+        model/_model.py:130-161).  Expressions serialize as op-trees
+        (sym.Sym.__reduce__); a Sym wrapping a raw user closure raises."""
+        state = self.__dict__.copy()
+        for key in ("_rhs_fun", "_alg_fun", "_meas_fun",
+                    "_aux_expression_fun", "_A_fun", "_B_fun", "_C_fun",
+                    "_D_fun"):
+            state.pop(key, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self.flags.get("setup"):
+            self._build_functions()
 
     # ------------------------------------------------------------ linearize
     def get_linear_system_matrices(self, xss=None, uss=None, zss=None,

@@ -1,0 +1,424 @@
+"""Bordered-block-diagonal (arrowhead) KKT factorization.
+
+The scenario-tree OCP KKT system is *not* merely stage-banded: after the
+robust horizon every leaf scenario is an independent stage chain, and the
+chains couple only through the shared tree-ancestor variables (plus any
+globally-coupled variables: open-loop inputs, single-slack eps, MHE's
+estimated parameters).  The reference hands this structure to IPOPT's
+general sparse linear solvers (do_mpc/optimizer.py:731-787, MUMPS/MA27);
+here it is exploited directly:
+
+    K = [ A   B ]     A = blkdiag over chains of block-tridiagonal bands
+        [ B^T R ]     B = border (chain rows x root cols), R = small root
+
+Solve by Schur complement on the root:
+
+    1. one batched multi-RHS block-QR sweep per chain:
+       Y_c = A_c^{-1} [B_c, rhs_c]                      (vmap over chains)
+    2. S = R - sum_c B_c^T Y_c[:, :r];  x_r = S^{-1} (rhs_r - sum B^T y)
+    3. x_c = y_c - Y_c[:, :r] x_r                       (no second sweep)
+
+Versus grouping all scenarios of a stage into one band block (b ~ 325 for
+the 9-branch CSTR tree), per-chain blocks are ~10x smaller -- QR panel
+flops drop ~100-500x and the chain dimension becomes extra batch
+parallelism for the MXU.  The block-QR sweep is pivot-free with bounded
+growth, which keeps float32 TPU solves stable on barely-regularized
+interior-point KKT systems.
+
+Chain/root assignment is *computed from usage*, not assumed: any variable
+referenced by more than one chain, or across a stage span > 1, is demoted
+to the root (see ``demote_by_usage``).  This one mechanism covers scenario
+trees, ``nl_cons_single_slack``, open-loop robust MPC and MHE parameter
+estimation (bordered band).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ROOT = -1       # chain id of root-assigned entities
+PARAM = -2      # chain id of parameter/dummy columns (dropped)
+
+
+def demote_by_usage(var_chain, var_stage, A_all, n, inst_chain, inst_stage):
+    """Demote variables to the root wherever the proposed chain assignment
+    cannot be represented in the (band, border, root) structure.
+
+    A variable stays on a chain only if every *chain* instance referencing
+    it belongs to that same chain, the referencing stages span at most one
+    block, and the variable's own stage is adjacent to all of them.
+    """
+    var_chain = np.asarray(var_chain, int).copy()
+    var_stage = np.asarray(var_stage, int).copy()
+    I, d = A_all.shape
+    cols = A_all.reshape(-1)
+    ich = np.repeat(np.asarray(inst_chain, int), d)
+    ist = np.repeat(np.asarray(inst_stage, int), d)
+    ok = (cols < n) & (ich != ROOT)
+    cols, ich, ist = cols[ok], ich[ok], ist[ok]
+
+    cmin = np.full(n, np.iinfo(np.int64).max)
+    cmax = np.full(n, np.iinfo(np.int64).min)
+    smin = np.full(n, np.iinfo(np.int64).max)
+    smax = np.full(n, np.iinfo(np.int64).min)
+    np.minimum.at(cmin, cols, ich)
+    np.maximum.at(cmax, cols, ich)
+    np.minimum.at(smin, cols, ist)
+    np.maximum.at(smax, cols, ist)
+
+    used = cmax >= 0
+    bad = used & (
+        (cmin != cmax)                      # referenced by >1 chain
+        | (var_chain >= 0) & (var_chain != cmax)  # not the owning chain
+        | (smax - smin > 1)                 # stage span too wide
+        | (var_stage < smax - 1)            # own stage not adjacent
+        | (var_stage > smin + 1))
+    var_chain[bad & (var_chain >= 0)] = ROOT
+    # chain-proposed but never referenced by a chain instance: keep (it
+    # still occupies its block; bounds/diagonal terms reach it there).
+    return var_chain, var_stage
+
+
+class BBDAssembler:
+    """Precomputed scatter maps from instance-local derivative tensors into
+    the (band, border, root) representation.
+
+    Parameters give, for every primal variable and every constraint row, a
+    chain id (``ROOT`` for root) and a chain-stage.  ``A_all`` maps each
+    instance's local variables to global columns (columns >= n are
+    parameters and are dropped); ``R_g``/``R_h`` map instance rows to
+    global equality/inequality rows.
+    """
+
+    def __init__(self, var_chain, var_stage, g_chain, g_stage,
+                 h_chain, h_stage, A_all, R_g, R_h, n, m, q,
+                 init_cols=None):
+        var_chain = np.asarray(var_chain, int)
+        var_stage = np.asarray(var_stage, int)
+        g_chain = np.asarray(g_chain, int)
+        g_stage = np.asarray(g_stage, int)
+        h_chain = np.asarray(h_chain, int)
+        h_stage = np.asarray(h_stage, int)
+        self.n, self.m, self.q = n, m, q
+        I, d = A_all.shape
+        E = R_g.shape[1]
+
+        C = int(max(var_chain.max(initial=-1), g_chain.max(initial=-1),
+                    h_chain.max(initial=-1))) + 1
+        C = max(C, 1)
+        S = 1 + int(max(
+            var_stage[var_chain >= 0].max(initial=0),
+            g_stage[g_chain >= 0].max(initial=0),
+            h_stage[h_chain >= 0].max(initial=0)))
+        self.C, self.S = C, S
+
+        # ---- local positions ------------------------------------------
+        # chain blocks: rows ordered [w, lam_g, lam_h] per (chain, stage);
+        # root: [w_root, lam_g_root, lam_h_root].
+        w_loc = np.zeros(n, int)
+        g_loc = np.zeros(m, int)
+        h_loc = np.zeros(max(q, 1), int)[:q]
+        sizes = np.zeros((C, S), int)
+
+        root_count = 0
+        for arr_chain, arr_stage, arr_loc in (
+                (var_chain, var_stage, w_loc),
+                (g_chain, g_stage, g_loc),
+                (h_chain, h_stage, h_loc)):
+            for c in range(C):
+                for k in range(S):
+                    sel = np.nonzero((arr_chain == c) & (arr_stage == k))[0]
+                    arr_loc[sel] = sizes[c, k] + np.arange(len(sel))
+                    sizes[c, k] += len(sel)
+            sel = np.nonzero(arr_chain == ROOT)[0]
+            arr_loc[sel] = root_count + np.arange(len(sel))
+            root_count += len(sel)
+
+        R = root_count
+        self.R = R
+        b = int(sizes.max()) + 1          # last slot = trash
+        self.b = b
+        tr = b - 1
+
+        band_sz = C * S * b * b
+        bord_sz = C * S * b * R
+        root_sz = R * R
+        self.T_size = 3 * band_sz + bord_sz + root_sz + 1
+        garbage = self.T_size - 1
+        bord_off = 3 * band_sz
+        root_off = bord_off + bord_sz
+
+        def flat_band(band, chain, stage, r, c):
+            return (band * band_sz
+                    + ((chain * S + stage) * b + r) * b + c)
+
+        def pair_idx(r_ch, r_st, r_lc, c_ch, c_st, c_lc):
+            """Map a (row, col) entry to its flat slot in T."""
+            r_ch, r_st, r_lc, c_ch, c_st, c_lc = np.broadcast_arrays(
+                r_ch, r_st, r_lc, c_ch, c_st, c_lc)
+            out = np.full(r_ch.shape, garbage, dtype=np.int64)
+            # chain x same chain
+            both = (r_ch >= 0) & (c_ch == r_ch)
+            ds = c_st - r_st
+            sel = both & (ds == 0)
+            out[sel] = flat_band(0, r_ch[sel], r_st[sel], r_lc[sel],
+                                 c_lc[sel])
+            sel = both & (ds == 1)
+            out[sel] = flat_band(1, r_ch[sel], r_st[sel], r_lc[sel],
+                                 c_lc[sel])
+            sel = both & (ds == -1)
+            out[sel] = flat_band(2, r_ch[sel],
+                                 np.maximum(r_st[sel] - 1, 0), r_lc[sel],
+                                 c_lc[sel])
+            # chain row x root col -> border
+            sel = (r_ch >= 0) & (c_ch == ROOT)
+            out[sel] = (bord_off
+                        + ((r_ch[sel] * S + r_st[sel]) * b
+                           + r_lc[sel]) * R + c_lc[sel])
+            # root x root
+            sel = (r_ch == ROOT) & (c_ch == ROOT)
+            out[sel] = root_off + r_lc[sel] * R + c_lc[sel]
+            # root row x chain col: dropped; recovered by symmetry since
+            # every insertion writes both orientations.
+            return out
+
+        # column maps for the extended instance vector
+        zcol = np.minimum(A_all, n - 1)
+        col_ch = np.where(A_all < n, var_chain[zcol], PARAM)
+        col_st = np.where(A_all < n, var_stage[zcol], 0)
+        col_lc = np.where(A_all < n, w_loc[zcol], 0)
+
+        self.h_idx = pair_idx(
+            col_ch[:, :, None], col_st[:, :, None], col_lc[:, :, None],
+            col_ch[:, None, :], col_st[:, None, :],
+            col_lc[:, None, :]).astype(np.int64)
+
+        g_row_ch = g_chain[R_g]
+        g_row_st = g_stage[R_g]
+        g_row_lc = g_loc[R_g]
+        self.jg_idx = pair_idx(
+            g_row_ch[:, :, None], g_row_st[:, :, None],
+            g_row_lc[:, :, None],
+            col_ch[:, None, :], col_st[:, None, :], col_lc[:, None, :])
+        self.jg_idx_T = pair_idx(
+            col_ch[:, None, :], col_st[:, None, :], col_lc[:, None, :],
+            g_row_ch[:, :, None], g_row_st[:, :, None],
+            g_row_lc[:, :, None])
+        if q:
+            h_row_ch = h_chain[R_h]
+            h_row_st = h_stage[R_h]
+            h_row_lc = h_loc[R_h]
+            self.jh_idx = pair_idx(
+                h_row_ch[:, :, None], h_row_st[:, :, None],
+                h_row_lc[:, :, None],
+                col_ch[:, None, :], col_st[:, None, :],
+                col_lc[:, None, :])
+            self.jh_idx_T = pair_idx(
+                col_ch[:, None, :], col_st[:, None, :], col_lc[:, None, :],
+                h_row_ch[:, :, None], h_row_st[:, :, None],
+                h_row_lc[:, :, None])
+        else:
+            self.jh_idx = self.jh_idx_T = np.zeros((I, 0, d), np.int64)
+
+        # diagonal entries
+        self.w_diag_idx = pair_idx(var_chain, var_stage, w_loc,
+                                   var_chain, var_stage, w_loc)
+        self.g_diag_idx = pair_idx(g_chain, g_stage, g_loc,
+                                   g_chain, g_stage, g_loc)
+        self.h_diag_idx = pair_idx(h_chain, h_stage, h_loc,
+                                   h_chain, h_stage, h_loc)
+
+        # initial-condition identity rows (first len(init_cols) eq rows)
+        if init_cols is not None and len(init_cols):
+            nx0 = len(init_cols)
+            ic = np.asarray(init_cols, int)
+            self.init_idx = np.concatenate([
+                pair_idx(g_chain[:nx0], g_stage[:nx0], g_loc[:nx0],
+                         var_chain[ic], var_stage[ic], w_loc[ic]),
+                pair_idx(var_chain[ic], var_stage[ic], w_loc[ic],
+                         g_chain[:nx0], g_stage[:nx0], g_loc[:nx0])])
+        else:
+            self.init_idx = np.zeros((0,), np.int64)
+
+        # rhs scatter / solution gather: flat vector [chain part, root part]
+        # chain part shape (C, S, b) flattened; root part (R,)
+        def pos(ch, st, lc):
+            chain_flat = (ch * S + st) * b + lc
+            return np.where(ch >= 0, chain_flat, C * S * b + lc)
+
+        self.w_pos = pos(var_chain, var_stage, w_loc).astype(np.int64)
+        self.g_pos = pos(g_chain, g_stage, g_loc).astype(np.int64)
+        self.h_pos = pos(h_chain, h_stage, h_loc).astype(np.int64)
+        self.vec_size = C * S * b + R
+
+        # identity diagonal on unused padding slots
+        pad = np.zeros((C, S, b))
+        for c in range(C):
+            for k in range(S):
+                pad[c, k, sizes[c, k]:b - 1] = 1.0
+        self.pad_diag = pad
+        self._band_sz = band_sz
+        self._bord_off = bord_off
+        self._root_off = root_off
+
+    def assemble(self, H_i, Jg_i, Jh_i, sig_w_delta, g_diag, h_diag):
+        """Build (D, U, Lo, Bord, Root) tensors from instance tensors."""
+        C, S, b, R = self.C, self.S, self.b, self.R
+        T = jnp.zeros((self.T_size,), H_i.dtype)
+        T = T.at[jnp.asarray(self.h_idx).reshape(-1)].add(H_i.reshape(-1))
+        T = T.at[jnp.asarray(self.jg_idx).reshape(-1)].add(Jg_i.reshape(-1))
+        T = T.at[jnp.asarray(self.jg_idx_T).reshape(-1)].add(
+            Jg_i.reshape(-1))
+        if self.q:
+            T = T.at[jnp.asarray(self.jh_idx).reshape(-1)].add(
+                Jh_i.reshape(-1))
+            T = T.at[jnp.asarray(self.jh_idx_T).reshape(-1)].add(
+                Jh_i.reshape(-1))
+        if len(self.init_idx):
+            T = T.at[jnp.asarray(self.init_idx)].add(1.0)
+        T = T.at[jnp.asarray(self.w_diag_idx)].add(sig_w_delta)
+        T = T.at[jnp.asarray(self.g_diag_idx)].add(g_diag)
+        if self.q:
+            T = T.at[jnp.asarray(self.h_diag_idx)].add(h_diag)
+
+        bs = self._band_sz
+        D = T[:bs].reshape(C, S, b, b)
+        U = T[bs:2 * bs].reshape(C, S, b, b)
+        Lo = T[2 * bs:3 * bs].reshape(C, S, b, b)
+        Bord = T[self._bord_off:self._root_off].reshape(C, S, b, R)
+        Root = T[self._root_off:self._root_off + R * R].reshape(R, R)
+        tr = b - 1
+        D = D.at[:, :, tr, :].set(0.0).at[:, :, :, tr].set(0.0) \
+             .at[:, :, tr, tr].set(1.0)
+        U = U.at[:, :, tr, :].set(0.0).at[:, :, :, tr].set(0.0)
+        Lo = Lo.at[:, :, tr, :].set(0.0).at[:, :, :, tr].set(0.0)
+        if R:
+            Bord = Bord.at[:, :, tr, :].set(0.0)
+        D = D + jax.vmap(jax.vmap(jnp.diag))(
+            jnp.asarray(self.pad_diag, D.dtype))
+        # U slot k: (stage k rows, stage k+1 cols); Lo slot k: (stage k+1
+        # rows, stage k cols) -- slots 0..S-2
+        return D, U[:, :-1], Lo[:, :-1], Bord, Root
+
+    def pack_rhs(self, r_w, r_g, r_h):
+        vec = jnp.zeros((self.vec_size,), r_w.dtype)
+        vec = vec.at[jnp.asarray(self.w_pos)].set(r_w)
+        vec = vec.at[jnp.asarray(self.g_pos)].set(r_g)
+        if self.q:
+            vec = vec.at[jnp.asarray(self.h_pos)].set(r_h)
+        csb = self.C * self.S * self.b
+        return (vec[:csb].reshape(self.C, self.S, self.b), vec[csb:])
+
+    def unpack_sol(self, x_c, x_r):
+        flat = jnp.concatenate([x_c.reshape(-1), x_r])
+        dw = flat[jnp.asarray(self.w_pos)]
+        dg = flat[jnp.asarray(self.g_pos)]
+        dh = flat[jnp.asarray(self.h_pos)] if self.q \
+            else jnp.zeros((0,), x_c.dtype)
+        return dw, dg, dh
+
+
+def band_solve_qr_multi(D, U, Lo, rhs):
+    """Pivot-free block-tridiagonal solve with multiple right-hand sides.
+
+    Sequential block-QR elimination (banded QR, Golub/Van Loan): at each
+    stage one R-only QR of the augmented (2b, 3b+t) panel eliminates the
+    sub-diagonal block; the trailing reflections recombine only
+    not-yet-finalized rows, so the system is preserved.  Orthogonal
+    elimination has bounded growth -- the float32-stable TPU path.
+
+    D: (S, b, b); U, Lo: (S-1, b, b); rhs: (S, b, t).  Returns (S, b, t).
+    """
+    S, b, t = rhs.shape
+    solve_tri = jax.scipy.linalg.solve_triangular
+
+    def step(carry, inp):
+        Dhat, Uhat, rhat = carry
+        L_k, D_n, U_n, r_n = inp
+        M = jnp.concatenate([
+            jnp.concatenate([Dhat, Uhat, jnp.zeros((b, b), Dhat.dtype),
+                             rhat], axis=1),
+            jnp.concatenate([L_k, D_n, U_n, r_n], axis=1)], axis=0)
+        Rm = jnp.linalg.qr(M, mode="r")                    # (2b, 3b+t)
+        R_k = Rm[:b, :b]
+        B_k = Rm[:b, b:2 * b]
+        C_k = Rm[:b, 2 * b:3 * b]
+        c_k = Rm[:b, 3 * b:]
+        return (Rm[b:, b:2 * b], Rm[b:, 2 * b:3 * b], Rm[b:, 3 * b:]), \
+            (R_k, B_k, C_k, c_k)
+
+    zero = jnp.zeros((b, b), rhs.dtype)
+    init = (D[0], U[0] if S > 1 else zero, rhs[0])
+    if S > 1:
+        U_ext = jnp.concatenate([U[1:], zero[None]], axis=0) \
+            if S > 2 else zero[None]
+        (Dh, Uh, rh), (Rs, Bs, Cs, cs) = jax.lax.scan(
+            step, init, (Lo, D[1:], U_ext, rhs[1:]))
+    else:
+        Dh, Uh, rh = init
+
+    Rf = jnp.linalg.qr(jnp.concatenate([Dh, rh], axis=1), mode="r")
+    x_last = solve_tri(Rf[:b, :b], Rf[:b, b:], lower=False)
+
+    if S == 1:
+        return x_last[None]
+
+    def bwd(carry, inp):
+        x_next, x_next2 = carry
+        R_k, B_k, C_k, c_k = inp
+        x_k = solve_tri(R_k, c_k - B_k @ x_next - C_k @ x_next2,
+                        lower=False)
+        return (x_k, x_next), x_k
+
+    (x0_, _), xs_rev = jax.lax.scan(
+        bwd, (x_last, jnp.zeros((b, t), rhs.dtype)),
+        (Rs[::-1], Bs[::-1], Cs[::-1], cs[::-1]))
+    return jnp.concatenate([xs_rev[::-1], x_last[None]], axis=0)
+
+
+def bbd_matvec(D, U, Lo, Bord, Root, x_c, x_r):
+    """Apply the full BBD operator; x_c (C,S,b), x_r (R,)."""
+    y = jnp.einsum("ckij,ckj->cki", D, x_c)
+    y = y.at[:, :-1].add(jnp.einsum("ckij,ckj->cki", U, x_c[:, 1:]))
+    y = y.at[:, 1:].add(jnp.einsum("ckij,ckj->cki", Lo, x_c[:, :-1]))
+    R = Root.shape[0]
+    if R:
+        y = y + jnp.einsum("ckir,r->cki", Bord, x_r)
+        y_r = Root @ x_r + jnp.einsum("ckir,cki->r", Bord, x_c)
+    else:
+        y_r = jnp.zeros((0,), x_c.dtype)
+    return y, y_r
+
+
+def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0):
+    """Solve the bordered-block-diagonal system.
+
+    One batched multi-RHS QR sweep per chain computes A_c^{-1}[B_c, r_c];
+    the root is then eliminated by a small dense Schur-complement solve.
+    Optional iterative refinement re-runs the sweep on the residual
+    (useful for float64 golden-accuracy runs; float32 TPU runs rely on the
+    IPM's inexact-Newton acceptance instead).
+    """
+    C, S, b, R = Bord.shape
+
+    def one_solve(rc, rr):
+        aug = jnp.concatenate([Bord, rc[..., None]], axis=-1) if R \
+            else rc[..., None]
+        Y = jax.vmap(band_solve_qr_multi)(D, U, Lo, aug)   # (C,S,b,R+1)
+        if not R:
+            return Y[..., 0], jnp.zeros((0,), rc.dtype)
+        BtY = jnp.einsum("ckir,ckit->rt", Bord, Y)         # (R, R+1)
+        S_r = Root - BtY[:, :R]
+        s_rhs = rr - BtY[:, R]
+        x_r = jnp.linalg.solve(S_r, s_rhs)
+        x_c = Y[..., R] - jnp.einsum("ckit,t->cki", Y[..., :R], x_r)
+        return x_c, x_r
+
+    x_c, x_r = one_solve(rhs_c, rhs_r)
+    for _ in range(n_refine):
+        y_c, y_r = bbd_matvec(D, U, Lo, Bord, Root, x_c, x_r)
+        e_c, e_r = one_solve(rhs_c - y_c, rhs_r - y_r)
+        x_c = x_c + e_c
+        x_r = x_r + e_r
+    return x_c, x_r

@@ -96,3 +96,50 @@ def test_linear_model_and_discretize():
     import scipy.linalg
     Ad = scipy.linalg.expm(A * 0.1)
     np.testing.assert_allclose(dlm.sys_A, Ad, atol=1e-10)
+
+
+def test_model_pickle_unpickle():
+    """Reference pattern: testing/test_CSTR.py:71-81 (test_pickle_unpickle).
+    Expressions serialize as op-trees; compiled closures are rebuilt on
+    unpickle and must produce identical rhs/Jacobian/measurement values."""
+    import pickle
+
+    m = systems.cstr_model()
+    m2 = pickle.loads(pickle.dumps(m))
+    x = np.array([0.8, 0.5, 134.14, 130.0])
+    u = np.array([10.0, -4500.0])
+    z = np.zeros(m.n_z)
+    tvp = np.zeros(m.n_tvp)
+    p = np.array([1.0, 1.0])
+    w = np.zeros(m.n_w)
+    v = np.zeros(m.n_v)
+    np.testing.assert_array_equal(
+        np.asarray(m._rhs_fun(x, u, z, tvp, p, w)),
+        np.asarray(m2._rhs_fun(x, u, z, tvp, p, w)))
+    np.testing.assert_array_equal(
+        np.asarray(m._meas_fun(x, u, z, tvp, p, v)),
+        np.asarray(m2._meas_fun(x, u, z, tvp, p, v)))
+    for M1, M2 in zip(m.get_linear_system_matrices(x, u),
+                      m2.get_linear_system_matrices(x, u)):
+        np.testing.assert_array_equal(M1, M2)
+    # an unpickled model drives a Simulator like the original
+    sim = dm.Simulator(m2)
+    sim.set_param(t_step=0.005)
+    ptmpl = sim.get_p_template()
+    ptmpl["alpha"] = 1.0
+    ptmpl["beta"] = 1.0
+    sim.set_p_fun(lambda t: ptmpl)
+    sim.setup()
+    sim.x0 = x
+    y = sim.make_step(u.reshape(-1, 1))
+    assert np.all(np.isfinite(y))
+
+
+def test_sym_closure_refuses_pickle():
+    import pickle
+    import pytest
+    from dompc_tpu import sym as casym
+
+    raw = casym.Sym(lambda env: env["_x"]["a"])
+    with pytest.raises(TypeError, match="raw closure"):
+        pickle.dumps(raw)
