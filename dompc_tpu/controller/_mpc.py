@@ -742,8 +742,15 @@ class MPC(Optimizer, IteratedVariables):
         nlr, I = sp["nlr"], sp["I"]
         m, q = self.n_opt_lagr, self._n_ineq
 
-        def structured_solve(w, pvec, lam_g, lam_h, sig_w, inv_sig_s,
-                             r_dw, r_g, r_h_mod, delta):
+        b = assembler.b
+        diag_i = jnp.arange(b)
+        diag_r = jnp.arange(assembler.R)
+        mask_c = jnp.asarray(assembler.w_mask_chain)
+        mask_r = jnp.asarray(assembler.w_mask_root)
+
+        def prepare(w, pvec, lam_g, lam_h, sig_w, inv_sig_s):
+            """Derivatives + scatter assembly: once per Newton step; the
+            retry ladder / SOC re-solves reuse the assembled system."""
             V, tvp, tvpN, p = gather(w, pvec)
             Lg = lam_g[R_g_j]
             Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), w.dtype)
@@ -752,21 +759,30 @@ class MPC(Optimizer, IteratedVariables):
             Jg_i = jax.vmap(d_g)(V, tvp, p)
             Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
                     else jnp.zeros((I, 0, sp["d"]), w.dtype))
-            D, U, Lo, Bord, Root = assembler.assemble(
-                Hi, Jg_i, Jh_i, sig_w + delta,
+            return assembler.assemble(
+                Hi, Jg_i, Jh_i, sig_w,
                 -delta_cons * jnp.ones((m,), w.dtype),
                 -inv_sig_s - delta_cons)
+
+        def solve(ctx, r_dw, r_g, r_h_mod, delta):
+            D, U, Lo, Bord, Root = ctx
+            dtype = r_dw.dtype
+            D = D.at[:, :, diag_i, diag_i].add(
+                delta * jnp.asarray(mask_c, dtype))
+            if assembler.R:
+                Root = Root.at[diag_r, diag_r].add(
+                    delta * jnp.asarray(mask_r, dtype))
             rhs_c, rhs_r = assembler.pack_rhs(-r_dw, -r_g, -r_h_mod)
             # block-QR sweeps are pivot-free with bounded growth, so no
             # refinement is needed in float32 (the IPM's inexact-Newton
             # acceptance absorbs the rest); float64 golden runs take one
             # refinement pass to reach IPOPT-matching accuracy
-            n_ref = 0 if w.dtype == jnp.float32 else n_refine
+            n_ref = 0 if dtype == jnp.float32 else n_refine
             x_c, x_r = bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r,
                                  n_refine=n_ref)
             return assembler.unpack_sol(x_c, x_r)
 
-        return structured_solve
+        return prepare, solve
 
     def _create_solver(self):
         st = self.settings

@@ -71,8 +71,13 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
     """
     st = mpc.settings
     if throughput_mode:
+        # under vmap every lax.cond branch executes, so each retry rung and
+        # the second-order correction cost one full KKT sweep per iteration
+        # whether or not any instance needs them — keep the ladder minimal
+        # and let the adaptive prox damping carry robustness
         ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,
-                                   reg_retries=2, do_polish=False)
+                                   reg_retries=1, use_soc=False,
+                                   do_polish=False)
         n_refine = 1
     else:
         ipm_settings = IPMSettings(tol=tol, max_iter=max_iter)

@@ -258,6 +258,13 @@ class BBDAssembler:
             for k in range(S):
                 pad[c, k, sizes[c, k]:b - 1] = 1.0
         self.pad_diag = pad
+        # primal-variable diagonal masks: lets the caller add the retry
+        # ladder's extra regularization delta to an already-assembled
+        # system without re-running derivatives + scatter
+        mask = np.zeros(self.vec_size)
+        mask[self.w_pos] = 1.0
+        self.w_mask_chain = mask[:C * S * b].reshape(C, S, b)
+        self.w_mask_root = mask[C * S * b:]
         self._band_sz = band_sz
         self._bord_off = bord_off
         self._root_off = root_off

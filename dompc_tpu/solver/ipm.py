@@ -269,10 +269,24 @@ def make_ipm_solver(
         r_h_mod = r_h - r_ds * inv_sig_s
 
         if structured_solve is not None:
-            def do_solve_rhs(r_dw_, r_g_, r_h_mod_, delta):
-                return structured_solve(w, p, lam_g, lam_h, sig_w,
-                                        inv_sig_s, r_dw_, r_g_, r_h_mod_,
-                                        jnp.asarray(delta, w.dtype))
+            if isinstance(structured_solve, tuple):
+                # (prepare, solve): derivatives + scatter assembly run once
+                # per Newton step; the retry ladder and the second-order
+                # correction reuse the assembled system (under vmap every
+                # lax.cond branch executes, so per-call assembly would be
+                # paid unconditionally)
+                s_prepare, s_solve = structured_solve
+                kkt_ctx = s_prepare(w, p, lam_g, lam_h, sig_w, inv_sig_s)
+
+                def do_solve_rhs(r_dw_, r_g_, r_h_mod_, delta):
+                    return s_solve(kkt_ctx, r_dw_, r_g_, r_h_mod_,
+                                   jnp.asarray(delta, w.dtype))
+            else:
+                def do_solve_rhs(r_dw_, r_g_, r_h_mod_, delta):
+                    return structured_solve(w, p, lam_g, lam_h, sig_w,
+                                            inv_sig_s, r_dw_, r_g_,
+                                            r_h_mod_,
+                                            jnp.asarray(delta, w.dtype))
 
             def hvp(dx):
                 # Lagrangian Hessian-vector product via jvp of the gradient
@@ -656,7 +670,12 @@ def make_ipm_solver(
                 else jnp.zeros((0,), w_.dtype)
             r_h_mod = hv - lam_h * inv_sig
             sig_pol = jnp.where(act_b, BIG, 0.0)
-            if structured_solve is not None:
+            if isinstance(structured_solve, tuple):
+                ctx_ = structured_solve[0](w_, p, lam_g, lam_h, sig_pol,
+                                           inv_sig)
+                dw_, dg_, dh_ = structured_solve[1](
+                    ctx_, r_dw, r_g, r_h_mod, jnp.asarray(0.0, w_.dtype))
+            elif structured_solve is not None:
                 dw_, dg_, dh_ = structured_solve(
                     w_, p, lam_g, lam_h, sig_pol, inv_sig, r_dw, r_g,
                     r_h_mod, jnp.asarray(0.0, w_.dtype))
