@@ -747,6 +747,8 @@ class MPC(Optimizer, IteratedVariables):
         diag_r = jnp.arange(assembler.R)
         mask_c = jnp.asarray(assembler.w_mask_chain)
         mask_r = jnp.asarray(assembler.w_mask_root)
+        # fused Pallas sweep on TPU (float32); lax.scan QR elsewhere
+        use_pallas = jax.default_backend() == "tpu"
 
         def prepare(w, pvec, lam_g, lam_h, sig_w, inv_sig_s):
             """Derivatives + scatter assembly: once per Newton step; the
@@ -779,7 +781,7 @@ class MPC(Optimizer, IteratedVariables):
             # refinement pass to reach IPOPT-matching accuracy
             n_ref = 0 if dtype == jnp.float32 else n_refine
             x_c, x_r = bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r,
-                                 n_refine=n_ref)
+                                 n_refine=n_ref, use_pallas=use_pallas)
             return assembler.unpack_sol(x_c, x_r)
 
         return prepare, solve

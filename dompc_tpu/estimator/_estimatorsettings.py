@@ -32,6 +32,7 @@ class MHESettings(EstimatorSettings):
     solver_tol: float = 1e-8
     solver_max_iter: int = 150
     warm_start_mu: float = 1e-4
+    kkt_solver: str = "auto"   # 'auto' | 'dense' | 'tridiag' (bordered band)
 
     def supress_ipopt_output(self):
         """API compatibility (our solver is silent)."""

@@ -480,14 +480,292 @@ class MHE(Optimizer, IteratedVariables):
         self._n_ineq = int(jax.eval_shape(h, w_dummy, p_dummy).shape[0])
         self.n_eps = nev * min(n_eps_rep, N)
 
+        # ---- instance-local AD: one instance per stage (like MPC) ------
+        # Variables of stage k gather into a small vector v_k; objective,
+        # constraints and all derivatives are per-instance with scatter
+        # assembly — the estimated parameters p_est ride along in every
+        # instance and land in the BBD root border (the "bordered band"
+        # structure of MHE parameter estimation).
+        n = L.size
+        n_pe = self.n_p_est
+        seg_defs = [
+            ("node", n_x), ("coll", n_coll * n_x), ("u", n_u),
+            ("z", n_coll_z * n_z), ("w", n_w), ("v", n_v), ("eps", nev),
+            ("node_next", n_x), ("p_est", n_pe),
+        ]
+        seg_sl = {}
+        off2 = 0
+        for name, size in seg_defs:
+            seg_sl[name] = slice(off2, off2 + size)
+            off2 += size
+        d = off2
+
+        def seg(vv, name):
+            return vv[seg_sl[name]]
+
+        A_all = np.zeros((N, d), dtype=int)
+        A_all[:, seg_sl["node"]] = np.asarray(A["node"])
+        if n_coll:
+            A_all[:, seg_sl["coll"]] = np.asarray(A["coll"])
+        if n_u:
+            A_all[:, seg_sl["u"]] = np.asarray(A["u"])
+        if n_z:
+            A_all[:, seg_sl["z"]] = np.asarray(A["z"])
+        if n_w:
+            A_all[:, seg_sl["w"]] = np.asarray(A["w"])
+        if n_v:
+            A_all[:, seg_sl["v"]] = np.asarray(A["v"])
+        if nev:
+            A_all[:, seg_sl["eps"]] = np.asarray(A["eps"])
+        A_all[:, seg_sl["node_next"]] = np.asarray(A["node_next"])
+        if n_pe:
+            A_all[:, seg_sl["p_est"]] = np.tile(
+                np.asarray(L.idx(("p_est",))), (N, 1))
+        self._A_all = A_all
+        A_all_j = jnp.asarray(A_all)
+
+        k0_mask = jnp.asarray(
+            (np.arange(N) == 0).astype(float))
+
+        def obj_i(vv, tvp, y, k0m, x_prev, p_est_prev, p_set):
+            p_est = seg(vv, "p_est") * pes
+            p = self._p_cat(p_est, p_set, xp=jnp)
+            env = {
+                "_w": model.spec("_w").unpack(seg(vv, "w"), xp=jnp),
+                "_v": model.spec("_v").unpack(seg(vv, "v"), xp=jnp),
+                "_tvp": model.spec("_tvp").unpack(tvp, xp=jnp),
+                "_p": model.spec("_p").unpack(p, xp=jnp),
+                "_p_est": self._p_est_spec.unpack(p_est, xp=jnp),
+                "_p_set": self._p_set_spec.unpack(p_set, xp=jnp),
+            }
+            val = env_scalar(stage_cost, env)
+            env_arr = {
+                "_x": model.spec("_x").unpack(seg(vv, "node") * xs,
+                                              xp=jnp),
+                "_x_prev": model.spec("_x").unpack(x_prev, xp=jnp),
+                "_p_est": env["_p_est"],
+                "_p_est_prev": self._p_est_spec.unpack(p_est_prev,
+                                                       xp=jnp),
+                "_p_set": env["_p_set"],
+                "_p": env["_p"],
+            }
+            val = val + k0m * env_scalar(arrival, env_arr)
+            if nev:
+                val = val + epsterm(seg(vv, "eps"))
+            return val
+
+        def g_i(vv, tvp, y, p_set):
+            p_est = seg(vv, "p_est") * pes
+            p = self._p_cat(p_est, p_set, xp=jnp)
+            node = seg(vv, "node")
+            coll = seg(vv, "coll")
+            u = seg(vv, "u")
+            z = seg(vv, "z")
+            wk = seg(vv, "w")
+            vk = seg(vv, "v")
+            node_next = seg(vv, "node_next")
+            res = []
+            if model.model_type == "discrete":
+                alg, x_pred = stage_g(node, jnp.zeros((0,), vv.dtype),
+                                      u, z, tvp, p, wk)
+                res.append(alg)
+                res.append(x_pred - node_next)
+                x_end = node_next
+                z_end = z[-n_z:] if n_z else z
+            else:
+                r = stage_g(node, coll, u, z, tvp, p, wk)
+                res.append(r)
+                res.append(coll[-n_x:] - node_next)
+                x_end = node_next
+                z_end = z[-n_z:] if n_z else jnp.zeros((0,), vv.dtype)
+            y_calc = model._meas_fun(x_end * xs, u * us, z_end * zs,
+                                     tvp, p, vk)
+            res.append(y_calc - y)
+            return jnp.concatenate(res)
+
+        def h_i(vv, tvp, p_set):
+            p_est = seg(vv, "p_est") * pes
+            node = seg(vv, "node")
+            coll = seg(vv, "coll")
+            u_un = seg(vv, "u") * us
+            z = seg(vv, "z")
+            eps = seg(vv, "eps")
+            if check_colloc:
+                outs = []
+                for i in range(n_coll):
+                    xi = coll[i * n_x:(i + 1) * n_x] * xs
+                    zi = (z[i * n_z:(i + 1) * n_z] * zs if n_z
+                          else jnp.zeros((0,), vv.dtype))
+                    outs.append(nl_cons_eval(xi, u_un, zi, tvp, p_est,
+                                             p_set, eps))
+                return jnp.concatenate(outs)
+            z0 = (z[:n_z] * zs if n_z else jnp.zeros((0,), vv.dtype))
+            return nl_cons_eval(node * xs, u_un, z0, tvp, p_est, p_set,
+                                eps)
+
+        E = self.n_opt_lagr // N
+        nlr = self._n_ineq // N if self._n_ineq else 0
+        R_g = (np.arange(N)[:, None] * E + np.arange(E)[None, :])
+        R_h = (np.arange(N)[:, None] * nlr + np.arange(nlr)[None, :]) \
+            if nlr else np.zeros((N, 0), int)
+        R_g_j = jnp.asarray(R_g)
+        R_h_j = jnp.asarray(R_h)
+
+        def parts(w_vec, pvec):
+            V = w_vec[A_all_j]
+            return (V, pvec[A["tvp"]], pvec[A["y"]],
+                    pvec[psl["x_prev"]], pvec[psl["p_est_prev"]],
+                    pvec[psl["p_set"]])
+
+        d_obj = jax.grad(obj_i)
+        d_g = jax.jacfwd(g_i)
+        d_h = jax.jacfwd(h_i) if nlr else None
+
+        def grad_f(w_vec, pvec):
+            V, TVP, Y, xp_, pep_, ps_ = parts(w_vec, pvec)
+            G = jax.vmap(d_obj,
+                         in_axes=(0, 0, 0, 0, None, None, None))(
+                V, TVP, Y, k0_mask, xp_, pep_, ps_)
+            return jnp.zeros((n,), w_vec.dtype).at[
+                A_all_j.reshape(-1)].add(G.reshape(-1))
+
+        def jac_g(w_vec, pvec):
+            V, TVP, Y, xp_, pep_, ps_ = parts(w_vec, pvec)
+            Ji = jax.vmap(d_g, in_axes=(0, 0, 0, None))(V, TVP, Y, ps_)
+            J = jnp.zeros((self.n_opt_lagr, n), w_vec.dtype)
+            return J.at[R_g_j[:, :, None], A_all_j[:, None, :]].add(Ji)
+
+        def jac_h(w_vec, pvec):
+            V, TVP, Y, xp_, pep_, ps_ = parts(w_vec, pvec)
+            Ji = jax.vmap(d_h, in_axes=(0, 0, None))(V, TVP, ps_)
+            J = jnp.zeros((self._n_ineq, n), w_vec.dtype)
+            return J.at[R_h_j[:, :, None], A_all_j[:, None, :]].add(Ji)
+
+        def lag_i(vv, tvp, y, k0m, xp_, pep_, ps_, lam_gi, lam_hi):
+            val = obj_i(vv, tvp, y, k0m, xp_, pep_, ps_)
+            val = val + jnp.dot(lam_gi, g_i(vv, tvp, y, ps_))
+            if nlr:
+                val = val + jnp.dot(lam_hi, h_i(vv, tvp, ps_))
+            return val
+
+        d2_lag = jax.hessian(lag_i)
+
+        def hess_fn(w_vec, pvec, lam_g, lam_h):
+            V, TVP, Y, xp_, pep_, ps_ = parts(w_vec, pvec)
+            Lg = lam_g[R_g_j]
+            Lh = lam_h[R_h_j] if nlr else jnp.zeros((N, 0), w_vec.dtype)
+            Hi = jax.vmap(
+                d2_lag,
+                in_axes=(0, 0, 0, 0, None, None, None, 0, 0))(
+                V, TVP, Y, k0_mask, xp_, pep_, ps_, Lg, Lh)
+            H = jnp.zeros((n, n), w_vec.dtype)
+            return H.at[A_all_j[:, :, None], A_all_j[:, None, :]].add(Hi)
+
+        self._grad_f_fn, self._jac_g_fn, self._jac_h_fn = (grad_f, jac_g,
+                                                           jac_h)
+        self._hess_fn = hess_fn
+        self._struct_parts = dict(
+            parts=parts, d_g=d_g, d_h=d_h, d2_lag=d2_lag, R_g=R_g,
+            R_h=R_h, R_g_j=R_g_j, R_h_j=R_h_j, k0_mask=k0_mask, nlr=nlr,
+            E=E, d=d, N=N)
+
+    def _make_structured_solve(self, delta_cons, n_refine=1):
+        """Bordered-band KKT backend for MHE: a single stage chain with
+        the estimated parameters (and single-slack eps) in the BBD root
+        (reference hands this sparsity to IPOPT, estimator/_mhe.py:1251;
+        p_est couples every stage, which is exactly the arrowhead border
+        solver/bbd.py factorizes)."""
+        from ..solver.bbd import BBDAssembler, bbd_solve, demote_by_usage
+        sp = self._struct_parts
+        L = self.layout
+        N = sp["N"]
+        E, nlr = sp["E"], sp["nlr"]
+        m, q = self.n_opt_lagr, self._n_ineq
+
+        var_chain = np.zeros(L.size, int)
+        var_stage = np.zeros(L.size, int)
+        for key in L.offsets:
+            var_stage[L.sl(key)] = min(L.stage_of[key], N)
+        inst_chain = np.zeros(N, int)
+        inst_stage = np.arange(N)
+        var_chain, var_stage = demote_by_usage(
+            var_chain, var_stage, self._A_all, L.size, inst_chain,
+            inst_stage)
+        g_chain = np.repeat(inst_chain, E)
+        g_stage = np.repeat(inst_stage, E)
+        h_chain = np.repeat(inst_chain, nlr)
+        h_stage = np.repeat(inst_stage, nlr)
+        assembler = BBDAssembler(
+            var_chain, var_stage, g_chain, g_stage, h_chain, h_stage,
+            self._A_all, sp["R_g"], sp["R_h"], self.n_opt_x, m, q,
+            init_cols=None)
+        self._kkt_structure = assembler
+
+        parts = sp["parts"]
+        d_g, d_h, d2_lag = sp["d_g"], sp["d_h"], sp["d2_lag"]
+        R_g_j, R_h_j = sp["R_g_j"], sp["R_h_j"]
+        k0_mask = sp["k0_mask"]
+        nlr_ = nlr
+        diag_i = jnp.arange(assembler.b)
+        diag_r = jnp.arange(assembler.R)
+        mask_c = jnp.asarray(assembler.w_mask_chain)
+        mask_r = jnp.asarray(assembler.w_mask_root)
+        use_pallas = jax.default_backend() == "tpu"
+
+        def prepare(w_vec, pvec, lam_g, lam_h, sig_w, inv_sig_s):
+            V, TVP, Y, xp_, pep_, ps_ = parts(w_vec, pvec)
+            Lg = lam_g[R_g_j]
+            Lh = lam_h[R_h_j] if nlr_ else jnp.zeros((sp["N"], 0),
+                                                     w_vec.dtype)
+            Hi = jax.vmap(
+                d2_lag,
+                in_axes=(0, 0, 0, 0, None, None, None, 0, 0))(
+                V, TVP, Y, k0_mask, xp_, pep_, ps_, Lg, Lh)
+            Jg_i = jax.vmap(d_g, in_axes=(0, 0, 0, None))(V, TVP, Y, ps_)
+            Jh_i = (jax.vmap(d_h, in_axes=(0, 0, None))(V, TVP, ps_)
+                    if nlr_ else jnp.zeros((sp["N"], 0, sp["d"]),
+                                           w_vec.dtype))
+            return assembler.assemble(
+                Hi, Jg_i, Jh_i, sig_w,
+                -delta_cons * jnp.ones((m,), w_vec.dtype),
+                -inv_sig_s - delta_cons)
+
+        def solve(ctx, r_dw, r_g, r_h_mod, delta):
+            D, U, Lo, Bord, Root = ctx
+            dtype = r_dw.dtype
+            D = D.at[:, :, diag_i, diag_i].add(
+                delta * jnp.asarray(mask_c, dtype))
+            if assembler.R:
+                Root = Root.at[diag_r, diag_r].add(
+                    delta * jnp.asarray(mask_r, dtype))
+            rhs_c, rhs_r = assembler.pack_rhs(-r_dw, -r_g, -r_h_mod)
+            n_ref = 0 if dtype == jnp.float32 else n_refine
+            x_c, x_r = bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r,
+                                 n_refine=n_ref, use_pallas=use_pallas)
+            return assembler.unpack_sol(x_c, x_r)
+
+        return prepare, solve
+
     def _create_solver(self):
         st = self.settings
         ipm_settings = IPMSettings(tol=st.solver_tol,
                                    max_iter=st.solver_max_iter)
+        use_structured = (getattr(st, "kkt_solver", "auto") == "tridiag"
+                          or (getattr(st, "kkt_solver", "auto") == "auto"
+                              and self.n_opt_x > 600
+                              and st.n_horizon >= 4))
+        structured_solve = None
+        if use_structured:
+            structured_solve = self._make_structured_solve(
+                ipm_settings.delta_cons)
         solve = make_ipm_solver(
             self._f_fn, self._g_fn, self._h_fn,
             self._lb_opt_x, self._ub_opt_x,
-            self.n_opt_lagr, self._n_ineq, settings=ipm_settings)
+            self.n_opt_lagr, self._n_ineq, settings=ipm_settings,
+            hess_fn=self._hess_fn, grad_f_fn=self._grad_f_fn,
+            jac_g_fn=self._jac_g_fn,
+            jac_h_fn=self._jac_h_fn if self._n_ineq else None,
+            structured_solve=structured_solve)
         self._solve_jit = jax.jit(solve)
         self.opt_x_num = np.zeros(self.n_opt_x)
         self.opt_p_num = np.zeros(self.n_opt_p)

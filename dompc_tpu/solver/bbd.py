@@ -398,21 +398,29 @@ def bbd_matvec(D, U, Lo, Bord, Root, x_c, x_r):
     return y, y_r
 
 
-def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0):
+def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
+              use_pallas=False):
     """Solve the bordered-block-diagonal system.
 
     One batched multi-RHS QR sweep per chain computes A_c^{-1}[B_c, r_c];
     the root is then eliminated by a small dense Schur-complement solve.
     Optional iterative refinement re-runs the sweep on the residual
     (useful for float64 golden-accuracy runs; float32 TPU runs rely on the
-    IPM's inexact-Newton acceptance instead).
+    IPM's inexact-Newton acceptance instead).  ``use_pallas`` runs the
+    sweep as one fused TPU kernel (solver/pallas_band.py) instead of a
+    lax.scan of XLA QR panels — float32 only.
     """
     C, S, b, R = Bord.shape
+    pallas_ok = use_pallas and D.dtype == jnp.float32
 
     def one_solve(rc, rr):
         aug = jnp.concatenate([Bord, rc[..., None]], axis=-1) if R \
             else rc[..., None]
-        Y = jax.vmap(band_solve_qr_multi)(D, U, Lo, aug)   # (C,S,b,R+1)
+        if pallas_ok:
+            from .pallas_band import band_solve_qr_pallas
+            Y = band_solve_qr_pallas(D, U, Lo, aug)       # (C,S,b,R+1)
+        else:
+            Y = jax.vmap(band_solve_qr_multi)(D, U, Lo, aug)
         if not R:
             return Y[..., 0], jnp.zeros((0,), rc.dtype)
         BtY = jnp.einsum("ckir,ckit->rt", Bord, Y)         # (R, R+1)

@@ -42,3 +42,27 @@ def test_pallas_band_pad_to_tile():
                                interpret=True)
     rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
     assert rel < 5e-5
+
+
+def test_pallas_band_extreme_scales():
+    """Barrier diagonals reach ~1e20+ in float32 interior-point KKT
+    systems; the Householder reflector must be computed scale-invariantly
+    (a naive sum of squares overflows and silently skips elimination)."""
+    rng = np.random.default_rng(3)
+    N, S, b, t = 2, 6, 5, 2
+    D = jnp.asarray(rng.standard_normal((N, S, b, b)), jnp.float32) \
+        + 4 * jnp.eye(b, dtype=jnp.float32)
+    # one huge barrier-style diagonal entry per stage
+    D = D.at[:, :, 0, 0].set(1e22)
+    U = jnp.asarray(rng.standard_normal((N, S - 1, b, b)), jnp.float32)
+    Lo = jnp.asarray(rng.standard_normal((N, S - 1, b, b)), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((N, S, b, t)), jnp.float32)
+    got = band_solve_qr_pallas(D, U, Lo, rhs, chains_per_tile=2,
+                               interpret=True)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    # residual check against the operator itself
+    y = jnp.einsum("nkij,nkjt->nkit", D, got)
+    y = y.at[:, :-1].add(jnp.einsum("nkij,nkjt->nkit", U, got[:, 1:]))
+    y = y.at[:, 1:].add(jnp.einsum("nkij,nkjt->nkit", Lo, got[:, :-1]))
+    resid = float(jnp.max(jnp.abs(y - rhs))) / float(jnp.max(jnp.abs(rhs)))
+    assert resid < 1e-3, f"residual {resid:.2e}"
