@@ -72,16 +72,37 @@ def main():
     W_w = sol.w
     L_w = sol.lam
     M_w = jnp.full((B,), 1e-4, X.dtype)
-    sol_w, u0s_w = solve_batch(X_w, W_w, L_w, M_w)
+    sol_w, u0s_w = solve_batch(X_w, W_w, L_w, M_w, sol.zl, sol.zu)
     u0s_w.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(reps):
-        sol_w, u0s_w = solve_batch(X_w, W_w, L_w, M_w)
+        sol_w, u0s_w = solve_batch(X_w, W_w, L_w, M_w, sol.zl, sol.zu)
         u0s_w.block_until_ready()
     wall_w = time.perf_counter() - t0
     warm_solves_per_s = B * reps / wall_w
     warm_iters = float(jnp.mean(sol_w.iterations.astype(jnp.float32)))
     warm_success = float(jnp.mean(sol_w.success.astype(jnp.float32)))
+
+    # real-time-iteration mode: fixed 2 Newton steps per solve at fixed mu,
+    # warm-started — the acados-style receding-horizon hot path.  Control
+    # quality: u0 within ~2% cost of the fully converged solve (see
+    # tests/test_rti.py); here we also report the cross-check.
+    rti_n = int(os.environ.get("DOMPC_BENCH_RTI_ITERS", "2"))
+    solve_rti = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
+                                  throughput_mode=True, rti_iters=rti_n)
+    M_r = jnp.full((B,), 1e-5, X.dtype)
+    sol_r, u0s_r = solve_rti(X_w, W_w, L_w, M_r, sol.zl, sol.zu)
+    u0s_r.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sol_r, u0s_r = solve_rti(X_w, W_w, L_w, M_r, sol.zl, sol.zu)
+        u0s_r.block_until_ready()
+    wall_r = time.perf_counter() - t0
+    rti_solves_per_s = B * reps / wall_r
+    # first-input agreement with the converged warm solve (F only: Q_dot is
+    # the documented near-degenerate direction, BENCH.md)
+    du_F = float(jnp.max(jnp.abs(u0s_r[:, 0] - u0s_w[:, 0])
+                         / (1.0 + jnp.abs(u0s_w[:, 0]))))
 
     baseline_ipopt_solves_per_s = 15.0
     print(json.dumps({
@@ -99,6 +120,9 @@ def main():
         "warm_success_rate": round(warm_success, 3),
         "mean_iterations": round(mean_iters, 1),
         "warm_iterations": round(warm_iters, 1),
+        "rti_solves_per_s": round(rti_solves_per_s, 3),
+        "rti_iters": rti_n,
+        "rti_vs_warm_first_input_rel_err": round(du_F, 5),
         "tol": tol,
         "compile_plus_first_s": round(compile_and_first, 1),
         "baseline_assumption": "IPOPT+MUMPS ~15 warm solves/s single core",

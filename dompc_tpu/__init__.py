@@ -16,6 +16,15 @@ import jax as _jax
 if os.environ.get("DOMPC_TPU_X64") == "1":
     _jax.config.update("jax_enable_x64", True)
 
+# TPU float32 matmuls default to bfloat16-grade precision, which floors the
+# achievable KKT residual near 1e-3 — fatal for an optimizer (measured: the
+# XLA QR band sweep's true residual is ~4e-4 at default precision vs ~3e-6
+# at highest).  Control workloads are latency-, not flop-bound here, so full
+# f32 contractions are the right framework default.  Override via env.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("DOMPC_TPU_MATMUL_PRECISION", "highest"))
+
 from . import sym
 from . import tools
 from . import model

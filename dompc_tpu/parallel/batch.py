@@ -56,9 +56,10 @@ def initial_guess_from_x0(mpc, x0s):
 
 
 def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
-                      warm=True, throughput_mode=False):
-    """Return ``solve_batch(x0s, w0s, lam0s=None, zls=None, zus=None)``:
-    a jitted vmapped solver over problem instances of the given MPC.
+                      warm=True, throughput_mode=False, rti_iters=0):
+    """Return ``solve_batch(x0s, w0s, lam0s=None, mu0=None, zl0s=None,
+    zu0s=None)``: a jitted vmapped solver over problem instances of the
+    given MPC.
 
     ``x0s``: (B, n_x) initial states; ``w0s``: (B, n_w_opt) primal initial
     guesses (e.g. broadcast of mpc.opt_x_num).  Returns the IPMSolution
@@ -68,16 +69,21 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
     ``throughput_mode`` trims the compile/runtime fat (shorter
     regularization ladder, one refinement pass, no polish) — right for
     large-batch moderate-tolerance solves on accelerators.
+
+    ``rti_iters > 0`` enables real-time-iteration mode for warm-started
+    calls (lam0s given): exactly that many Newton steps at fixed mu, no
+    convergence loop — the acados-style receding-horizon hot path.  Cold
+    calls (lam0s=None) still run the full globalized loop.
     """
     st = mpc.settings
-    if throughput_mode:
+    if throughput_mode or rti_iters:
         # under vmap every lax.cond branch executes, so each retry rung and
         # the second-order correction cost one full KKT sweep per iteration
         # whether or not any instance needs them — keep the ladder minimal
         # and let the adaptive prox damping carry robustness
         ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,
                                    reg_retries=1, use_soc=False,
-                                   do_polish=False)
+                                   do_polish=False, rti_iters=rti_iters)
         n_refine = 1
     else:
         ipm_settings = IPMSettings(tol=tol, max_iter=max_iter)
@@ -99,23 +105,35 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
     u_sl = mpc.layout.sl(("u", 0, 0))
     u_scaling = jnp.asarray(mpc._u_scaling.data)
 
-    def one(x0, w0, lam0, mu0):
+    def one_cold(x0, w0):
         pvec = base_pvec.at[x0_sl].set(x0)
-        sol = solve(w0, pvec, lam0=lam0, mu0=mu0)
+        sol = solve(w0, pvec)
         u0 = sol.w[u_sl] * u_scaling
         return sol, u0
 
-    def solve_batch(x0s, w0s, lam0s=None, mu0=None):
+    def one_warm(x0, w0, lam0, mu0, zl0, zu0):
+        pvec = base_pvec.at[x0_sl].set(x0)
+        sol = solve(w0, pvec, lam0=lam0, mu0=mu0, zl0=zl0, zu0=zu0)
+        u0 = sol.w[u_sl] * u_scaling
+        return sol, u0
+
+    cold = jax.jit(jax.vmap(one_cold))
+    warm_jit = jax.jit(jax.vmap(one_warm))
+
+    def solve_batch(x0s, w0s, lam0s=None, mu0=None, zl0s=None, zu0s=None):
         B = x0s.shape[0]
         if lam0s is None:
-            lam0s = jnp.zeros((B, mpc.n_opt_lagr + mpc._n_ineq),
-                              x0s.dtype)
-            mu0 = jnp.full((B,), ipm_settings.mu_init, x0s.dtype)
-        elif mu0 is None:
+            # cold start: full globalized loop, default dual init
+            return cold(x0s, w0s)
+        if mu0 is None:
             mu0 = jnp.full((B,), st.warm_start_mu, x0s.dtype)
-        return jax.vmap(one)(x0s, w0s, lam0s, mu0)
+        if zl0s is None:
+            # zeros fall through init_state's z_init default per-entry
+            zl0s = jnp.zeros((B, w0s.shape[1] + mpc._n_ineq), x0s.dtype)
+            zu0s = jnp.zeros((B, w0s.shape[1] + mpc._n_ineq), x0s.dtype)
+        return warm_jit(x0s, w0s, lam0s, mu0, zl0s, zu0s)
 
-    return jax.jit(solve_batch)
+    return solve_batch
 
 
 def make_sharded_solver(mpc, mesh=None, tol=1e-6, max_iter=60,

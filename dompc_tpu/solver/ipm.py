@@ -50,6 +50,10 @@ class IPMSettings:
     reg_retries: int = 5        # regularization-ladder length
     use_soc: bool = True        # second-order correction step
     do_polish: bool = True      # active-set Newton polish after the loop
+    rti_iters: int = 0          # >0: real-time-iteration mode — exactly this
+                                # many full Newton steps at fixed mu, no line
+                                # search / convergence loop (acados-style
+                                # hot path for receding-horizon warm starts)
 
 
 class IPMState(NamedTuple):
@@ -604,6 +608,48 @@ def make_ipm_solver(
 
         return jax.lax.while_loop(cond, body, state)
 
+    # -- real-time iteration: fixed number of full Newton steps at fixed mu --
+    # The receding-horizon hot path (acados-style RTI): warm-started from the
+    # previous step's primal-dual solution, each iteration is exactly one KKT
+    # factorization + fraction-to-boundary step — no line search, no barrier
+    # schedule, no convergence loop, so the compiled step has a fixed, minimal
+    # cost.  The reference has no equivalent (IPOPT always iterates to
+    # convergence, do_mpc/optimizer.py:731-787); this is the TPU-native answer
+    # to its `compile_nlp` "make the hot loop cheap" intent (optimizer.py:678).
+    def rti_loop(state: IPMState, p):
+        def body(_, stt: IPMState):
+            w, s, lam, zl, zu, mu = (stt.w, stt.s, stt.lam, stt.zl, stt.zu,
+                                     stt.mu)
+            dw, ds, dlam, dzl, dzu, _soc, delta_used = newton_step(
+                w, s, lam, zl, zu, p, mu, stt.prox)
+            a_p, a_d = fraction_to_boundary(w, s, dw, ds, zl, zu, dzl, dzu,
+                                            mu)
+            w_n = w + a_p * dw
+            s_n = s + a_p * ds
+            lam_n = lam + a_p * dlam
+            zl_n = zl + a_d * dzl
+            zu_n = zu + a_d * dzu
+            dl_w, dl_s = dist_l(w_n, s_n)
+            du_w = dist_u(w_n)
+            dl = jnp.concatenate([dl_w, dl_s])
+            kap = 1e10
+            zl_n = jnp.clip(zl_n, mu / (kap * jnp.maximum(dl, _TINY)),
+                            kap * mu / jnp.maximum(dl, _TINY))
+            du = jnp.concatenate([du_w, jnp.full((q,), jnp.inf, w.dtype)])
+            zu_n = jnp.where(
+                jnp.concatenate([has_ub, jnp.zeros((q,), bool)]),
+                jnp.clip(zu_n, mu / (kap * jnp.maximum(du, _TINY)),
+                         kap * mu / jnp.maximum(du, _TINY)),
+                0.0)
+            return IPMState(w=w_n, s=s_n, lam=lam_n, zl=zl_n, zu=zu_n,
+                            mu=mu, it=stt.it + 1, converged=stt.converged,
+                            kkt_err=stt.kkt_err, prox=stt.prox)
+
+        final = jax.lax.fori_loop(0, st.rti_iters, body, state)
+        err = kkt_error(final.w, final.s, final.lam, final.zl, final.zu,
+                        p, 0.0)
+        return final._replace(kkt_err=err, converged=err <= st.tol)
+
     def init_state(w0, p, lam0=None, mu0=None, zl0=None, zu0=None):
         dtype = w0.dtype
         # push the initial point into the interior (IPOPT bound_push/frac)
@@ -714,6 +760,16 @@ def make_ipm_solver(
     def solve(w0, p, lam0=None, mu0=None, zl0=None, zu0=None):
         state = init_state(jnp.asarray(w0), p, lam0=lam0, mu0=mu0,
                            zl0=zl0, zu0=zu0)
+        # RTI only makes sense from a warm primal-dual start: a cold start
+        # (no lam0) always runs the full globalized loop, so the first solve
+        # of a receding-horizon sequence converges properly and every
+        # subsequent step takes the fixed-cost RTI path.
+        if st.rti_iters > 0 and lam0 is not None:
+            final = rti_loop(state, p)
+            return IPMSolution(
+                w=final.w, s=final.s, lam=final.lam, zl=final.zl,
+                zu=final.zu, f=f(final.w, p), kkt_err=final.kkt_err,
+                iterations=final.it, success=final.converged)
         final = solver_loop(state, p)
         if not st.do_polish:
             return IPMSolution(

@@ -1,0 +1,89 @@
+"""Real-time-iteration (RTI) solver mode.
+
+The reference has no equivalent (IPOPT always iterates to convergence,
+do_mpc/optimizer.py:731-787); RTI is the TPU-native receding-horizon hot
+path: a fixed number of Newton steps at fixed barrier parameter from a warm
+primal-dual start (acados-style).  These tests pin its semantics:
+
+* cold calls (no lam0) run the full globalized loop even when rti_iters>0,
+* warm RTI steps track the fully converged solution on a QP-like problem,
+* the compiled step count is exactly rti_iters.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from dompc_tpu.parallel import make_batch_solver
+import systems
+
+
+def _mpc():
+    model = systems.oscillating_masses_model()
+    return systems.oscillating_masses_mpc(model)
+
+
+def test_rti_tracks_converged_solution():
+    mpc = _mpc()
+    rng = np.random.default_rng(3)
+    B = 4
+    x0s = rng.uniform(-0.4, 0.4, size=(B, 4))
+    mpc.x0 = x0s[0]
+    mpc.set_initial_guess()
+    w0 = np.tile(mpc.opt_x_num.copy(), (B, 1))
+
+    full = make_batch_solver(mpc, tol=1e-8, max_iter=80)
+    rti = make_batch_solver(mpc, tol=1e-6, max_iter=80, rti_iters=2)
+
+    X = jnp.asarray(x0s)
+    W = jnp.asarray(w0)
+    # cold call through the RTI solver must run the full loop (converged)
+    sol_cold, _ = rti(X, W)
+    assert bool(jnp.all(sol_cold.success))
+    assert int(jnp.max(sol_cold.iterations)) > 2
+
+    # receding-horizon step: perturb x0, warm start from the old solution
+    X2 = X * 0.98
+    mu0 = jnp.full((B,), 1e-6)
+    sol_ref, u_ref = full(X2, sol_cold.w, sol_cold.lam, mu0,
+                          sol_cold.zl, sol_cold.zu)
+    sol_rti, u_rti = rti(X2, sol_cold.w, sol_cold.lam, mu0,
+                         sol_cold.zl, sol_cold.zu)
+    assert int(jnp.max(sol_rti.iterations)) == 2
+    np.testing.assert_allclose(np.asarray(u_rti), np.asarray(u_ref),
+                               atol=2e-4)
+    # the RTI KKT point is near-stationary for this QP-like problem
+    assert float(jnp.max(sol_rti.kkt_err)) < 1e-4
+
+
+def test_rti_closed_loop_stays_near_converged_loop():
+    """Run two 6-step closed loops (plant = model, discrete) — one fully
+    converged, one RTI(1) after the first step — and compare inputs."""
+    mpc = _mpc()
+    x0 = np.array([0.4, -0.2, 0.3, 0.1])
+    mpc.x0 = x0
+    mpc.set_initial_guess()
+    w0 = mpc.opt_x_num.copy()[None, :]
+
+    full = make_batch_solver(mpc, tol=1e-8, max_iter=80)
+    rti = make_batch_solver(mpc, tol=1e-6, max_iter=80, rti_iters=1)
+
+    A = np.array([[0.763, 0.460, 0.115, 0.020],
+                  [-0.899, 0.763, 0.420, 0.115],
+                  [0.115, 0.020, 0.763, 0.460],
+                  [0.420, 0.115, -0.899, 0.763]])
+    Bm = np.array([[0.014], [0.063], [0.221], [0.367]])
+
+    us = {}
+    for name, solver in (("full", full), ("rti", rti)):
+        x = x0.copy()
+        X = jnp.asarray(x[None, :])
+        sol, u = solver(X, jnp.asarray(w0))
+        seq = [float(u[0, 0])]
+        for _ in range(5):
+            x = A @ x + Bm[:, 0] * seq[-1]
+            X = jnp.asarray(x[None, :])
+            mu0 = jnp.full((1,), 1e-6)
+            sol, u = solver(X, sol.w, sol.lam, mu0, sol.zl, sol.zu)
+            seq.append(float(u[0, 0]))
+        us[name] = np.array(seq)
+
+    np.testing.assert_allclose(us["rti"], us["full"], atol=5e-4)
