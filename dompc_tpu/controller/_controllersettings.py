@@ -36,6 +36,12 @@ class MPCSettings(ControllerSettings):
     solver_max_iter: int = 150
     warm_start_mu: float = 1e-4
     kkt_solver: str = "auto"   # 'auto' | 'dense' | 'tridiag'
+    # integer-input (MINLP) strategy — reference delegates to BONMIN
+    # branch-and-bound (_mpc.py:1317-1324); 'bnb' is the batched
+    # branch-and-bound (solver/minlp.py), 'round' rounds the relaxation
+    minlp_strategy: str = "bnb"   # 'bnb' | 'round'
+    bnb_max_nodes: int = 64
+    bnb_batch_width: int = 8
 
     def check_for_mandatory_settings(self):
         assert self.n_horizon is not None, "n_horizon must be set."

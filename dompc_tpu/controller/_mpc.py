@@ -88,6 +88,8 @@ class MPC(Optimizer, IteratedVariables):
         self.n_combinations = 1
         self._lterm = None
         self._mterm = None
+        self._bnb = None
+        self._last_sol = None
 
     # ------------------------------------------------------------- config --
     @property
@@ -892,6 +894,7 @@ class MPC(Optimizer, IteratedVariables):
             sol = self._solve_jit(
                 jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
         w = np.array(sol.w)
+        self._last_sol = sol
         self.opt_x_num = w
         self.opt_x_num_unscaled = w * self.opt_x_scaling
         self._lam_warm = np.asarray(sol.lam)
@@ -909,6 +912,23 @@ class MPC(Optimizer, IteratedVariables):
         }
         self.flags["initial_run"] = True
 
+    def _integer_w_indices(self):
+        """Indices into opt_x of every integer-input entry over the horizon
+        and scenarios, plus the per-entry scaling (integrality holds for
+        w * scale)."""
+        L = self.layout
+        u_spec = self.model.spec("_u")
+        int_mask = np.zeros(self.model.n_u, bool)
+        for name in self.model.integer_u:
+            int_mask[u_spec.slice(name)] = True
+        all_idx = np.arange(L.size)
+        idx, sc = [], []
+        for key in L.offsets:
+            if key[0] == "u":
+                idx.append(all_idx[L.sl(key)][int_mask])
+                sc.append(self._u_scaling.data[int_mask])
+        return np.concatenate(idx), np.concatenate(sc)
+
     def make_step(self, x0) -> np.ndarray:
         """One closed-loop control step (reference: _mpc.py:975-1059)."""
         assert self.flags["setup"], "MPC was not setup yet."
@@ -923,19 +943,41 @@ class MPC(Optimizer, IteratedVariables):
 
         L = self.layout
         us = self._u_scaling.data
-        # Integer inputs (reference delegates to BONMIN, _mpc.py:1317-1324):
-        # here the continuous relaxation is rounded — a documented
-        # approximation, exact whenever the relaxation is near-integral.
+        # Integer inputs (reference delegates to BONMIN, _mpc.py:1317-1324).
+        # 'bnb': batched branch-and-bound below the relaxation just solved
+        # (solver/minlp.py) — node relaxations are evaluated in vmapped
+        # batches on device.  'round' (or bnb finding nothing): round the
+        # continuous relaxation, exact whenever it is near-integral.
         if self.model.integer_u:
-            u_spec = self.model.spec("_u")
-            int_mask = np.zeros(self.model.n_u, bool)
-            for name in self.model.integer_u:
-                int_mask[u_spec.slice(name)] = True
-            for key in L.offsets:
-                if key[0] == "u":
-                    blk = self.opt_x_num[L.sl(key)] * us
-                    blk[int_mask] = np.round(blk[int_mask])
-                    self.opt_x_num[L.sl(key)] = blk / us
+            refined = False
+            if self.settings.minlp_strategy == "bnb":
+                if self._bnb is None:
+                    from ..solver.minlp import BranchAndBound
+                    idx, sc = self._integer_w_indices()
+                    self._bnb = BranchAndBound(
+                        self, idx, sc, tol=self.settings.solver_tol,
+                        max_iter=self.settings.solver_max_iter,
+                        batch_width=self.settings.bnb_batch_width,
+                        max_nodes=self.settings.bnb_max_nodes)
+                res = self._bnb.refine(self.opt_p_num, self._last_sol)
+                self.solver_stats["bnb_nodes"] = res.n_nodes
+                if res.success:
+                    # integral primal becomes the solution (and next warm
+                    # start); duals stay those of the relaxation — the
+                    # next step warm-starts the relaxation, not the node
+                    self.opt_x_num = res.w
+                    self.opt_x_num_unscaled = res.w * self.opt_x_scaling
+                    refined = True
+            if not refined:
+                u_spec = self.model.spec("_u")
+                int_mask = np.zeros(self.model.n_u, bool)
+                for name in self.model.integer_u:
+                    int_mask[u_spec.slice(name)] = True
+                for key in L.offsets:
+                    if key[0] == "u":
+                        blk = self.opt_x_num[L.sl(key)] * us
+                        blk[int_mask] = np.round(blk[int_mask])
+                        self.opt_x_num[L.sl(key)] = blk / us
         u0 = self.opt_x_num[L.sl(("u", 0, 0))] * us
         if self.model.n_z:
             z0 = self.opt_x_num[L.idx(("z", 0, 0))[:self.model.n_z]] \

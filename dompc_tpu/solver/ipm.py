@@ -98,6 +98,7 @@ def make_ipm_solver(
     jac_g_fn: Optional[Callable] = None,
     jac_h_fn: Optional[Callable] = None,
     structured_solve: Optional[Callable] = None,
+    dynamic_bounds: bool = False,
 ):
     """Build a single-instance solver ``solve(w0, p, lam0=None) -> IPMSolution``.
 
@@ -106,6 +107,12 @@ def make_ipm_solver(
 
     ``kkt_solve(Hw, Sig_w, Jg, Jh, inv_sig_s, r_dw, r_g, r_h_mod, delta)``
     may exploit problem structure; the default is a dense LU.
+
+    ``dynamic_bounds=True`` lets callers pass per-solve bound VALUES
+    (``solve(..., lb_dyn=, ub_dyn=)``, traced/batchable) while the bound
+    sparsity pattern (which entries are bounded at all) stays that of the
+    static ``lb/ub`` — exactly what branch-and-bound node solves need,
+    where only finite integer-variable bounds are tightened per node.
     """
     st = settings
     lb = jnp.asarray(lb)
@@ -115,6 +122,7 @@ def make_ipm_solver(
 
     has_lb = jnp.isfinite(lb)
     has_ub = jnp.isfinite(ub)
+    lb_static, ub_static = lb, ub
 
     grad_f = grad_f_fn if grad_f_fn is not None else jax.grad(f)
     jac_g = jac_g_fn if jac_g_fn is not None else (
@@ -757,7 +765,26 @@ def make_ipm_solver(
         s_p = jnp.maximum(-hv_p, 0.0)
         return w_cl, s_p, lam_p, zl_p, zu_p
 
-    def solve(w0, p, lam0=None, mu0=None, zl0=None, zu0=None):
+    def solve(w0, p, lam0=None, mu0=None, zl0=None, zu0=None,
+              lb_dyn=None, ub_dyn=None):
+        nonlocal lb, ub
+        if lb_dyn is not None or ub_dyn is not None:
+            if not dynamic_bounds:
+                raise ValueError("pass dynamic_bounds=True to "
+                                 "make_ipm_solver to use lb_dyn/ub_dyn")
+            # rebind the closure cells for the duration of this trace; all
+            # inner functions execute within this call, so they read the
+            # traced values (the finiteness masks stay static)
+            if lb_dyn is not None:
+                lb = jnp.where(has_lb, jnp.asarray(lb_dyn), lb_static)
+            if ub_dyn is not None:
+                ub = jnp.where(has_ub, jnp.asarray(ub_dyn), ub_static)
+        try:
+            return _solve_impl(w0, p, lam0, mu0, zl0, zu0)
+        finally:
+            lb, ub = lb_static, ub_static
+
+    def _solve_impl(w0, p, lam0=None, mu0=None, zl0=None, zu0=None):
         state = init_state(jnp.asarray(w0), p, lam0=lam0, mu0=mu0,
                            zl0=zl0, zu0=zu0)
         # RTI only makes sense from a warm primal-dual start: a cold start

@@ -19,6 +19,11 @@ from ._rotating_masses import (
 )
 from ._triple_tank import triple_tank_model
 from ._kite import kite_model, kite_mpc, kite_simulator
+from ._bicycle import (
+    kinematic_bicycle_model, kinematic_bicycle_mpc,
+    kinematic_bicycle_simulator,
+    dynamic_bicycle_model, dynamic_bicycle_mpc, dynamic_bicycle_simulator,
+)
 from ._industrial_poly import (
     industrial_poly_model, industrial_poly_mpc, industrial_poly_simulator,
     industrial_poly_x0,
@@ -37,4 +42,8 @@ __all__ = [
     "kite_model", "kite_mpc", "kite_simulator",
     "industrial_poly_model", "industrial_poly_mpc",
     "industrial_poly_simulator", "industrial_poly_x0",
+    "kinematic_bicycle_model", "kinematic_bicycle_mpc",
+    "kinematic_bicycle_simulator",
+    "dynamic_bicycle_model", "dynamic_bicycle_mpc",
+    "dynamic_bicycle_simulator",
 ]

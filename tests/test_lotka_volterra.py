@@ -1,7 +1,8 @@
 """Lotka-Volterra with an integer input (reference: testing/
 test_lotka_volterra.py, 2 closed-loop steps).  The reference solves the
-MINLP with BONMIN; here the continuous relaxation is rounded — which is
-exact for this problem (the optimal input is 0)."""
+MINLP with BONMIN; here branch-and-bound (solver/minlp.py) — whose root
+relaxation is already integral for this problem (the optimal input is 0),
+so it terminates at the root, matching the golden data exactly."""
 import numpy as np
 
 import dompc_tpu as dm
