@@ -31,10 +31,16 @@ class MPCSettings(ControllerSettings):
     store_solver_stats: list = field(
         default_factory=lambda: ["success", "t_wall_total"])
     nlpsol_opts: dict = field(default_factory=dict)
-    # solver controls (replace IPOPT options)
+    # solver controls (replace IPOPT options; full passthrough mirroring the
+    # reference's nlpsol_opts surface, _controllersettings.py:139-175)
     solver_tol: float = 1e-8
     solver_max_iter: int = 150
     warm_start_mu: float = 1e-4
+    solver_mu_init: float = 1e-1       # IPOPT mu_init
+    solver_reg_retries: int = 5        # regularization-ladder length
+    solver_use_soc: bool = True        # second-order correction step
+    solver_do_polish: bool = True      # active-set Newton polish
+    solver_ls_max: int = 25            # max halvings in line search
     kkt_solver: str = "auto"   # 'auto' | 'dense' | 'tridiag'
     # integer-input (MINLP) strategy — reference delegates to BONMIN
     # branch-and-bound (_mpc.py:1317-1324); 'bnb' is the batched

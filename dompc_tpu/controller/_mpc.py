@@ -25,7 +25,7 @@ from ..optimizer import (Optimizer, OCPLayout, build_scenario_tree,
                          make_stage_residual)
 from ..tools import NumStruct, StructSpec
 from ..data import MPCData
-from ..solver.ipm import make_ipm_solver, IPMSettings
+from ..solver.ipm import make_ipm_solver, IPMSettings, ipm_settings_from
 from .. import sym as casym
 from ._controllersettings import MPCSettings
 
@@ -428,6 +428,7 @@ class MPC(Optimizer, IteratedVariables):
             off += size
         d = off
         self._inst_dim = d
+        self._seg_sl = seg_sl
 
         # extended vector e = [w, u_prev_from_pvec(scaled), dummy]; columns
         # >= n are parameters/dummies and are dropped at scatter time
@@ -647,6 +648,57 @@ class MPC(Optimizer, IteratedVariables):
         self.n_eps = nev * sum(
             1 for key in L.offsets if key[0] == "eps")
 
+        # ---- aux over the horizon (reference opt_aux, _mpc.py:1277-1284:
+        # evaluated per (k, s) at the interval-start node; unused scenario
+        # columns are padded with the last computed (k, s) values, and the
+        # z/p of the *last* branch win — the reference's loop-overwrite
+        # quirk, replicated for parity) ----
+        tree = self.scenario_tree
+        nscen = tree["n_scenarios"]
+        child = tree["child_scenario"]
+        boff = tree["branch_offset"]
+        nbr = tree["n_branches"]
+        N = st.n_horizon
+        n_tvp, n_p = model.n_tvp, model.n_p
+        n_max = nscen[-1]
+        n_aux = model.n_aux
+        self.n_opt_aux = N * n_max * n_aux
+        ax_x, ax_u, ax_z, ax_tvp, ax_p = [], [], [], [], []
+        for k in range(N):
+            b_last = nbr[k] - 1
+            for s in range(n_max):
+                s_eff = min(s, nscen[k] - 1)
+                s_u = 0 if st.open_loop else s_eff
+                c = child[k][s_eff][b_last]
+                ax_x.append(L.idx(("x_node", k, s_eff)))
+                ax_u.append(L.idx(("u", k, s_u)) if n_u
+                            else np.zeros(0, int))
+                ax_z.append(L.idx(("z", k, c))[-n_z:] if n_z
+                            else np.zeros(0, int))
+                ax_tvp.append(self._p_sl["tvp"].start + k * n_tvp
+                              + np.arange(n_tvp))
+                p_idx = b_last + boff[k][s_eff]
+                ax_p.append(self._p_sl["p"].start + p_idx * n_p
+                            + np.arange(n_p))
+        AX = {nm: jnp.asarray(np.stack(a)) if a else
+              jnp.zeros((N * n_max, 0), int)
+              for nm, a in (("x", ax_x), ("u", ax_u), ("z", ax_z),
+                            ("tvp", ax_tvp), ("p", ax_p))}
+        xs_j = jnp.asarray(self._x_scaling.data)
+        us_j = jnp.asarray(self._u_scaling.data)
+        zs_j = jnp.asarray(self._z_scaling.data)
+        aux_fun = model._aux_expression_fun
+
+        def opt_aux_expression_fun(w, pvec):
+            """(w scaled, pvec) -> (N*n_max, n_aux) aux values."""
+            def one(ix, iu, iz, itvp, ip):
+                return aux_fun(w[ix] * xs_j, w[iu] * us_j, w[iz] * zs_j,
+                               pvec[itvp], pvec[ip])
+            return jax.vmap(one)(AX["x"], AX["u"], AX["z"], AX["tvp"],
+                                 AX["p"])
+
+        self._opt_aux_fun = jax.jit(opt_aux_expression_fun)
+
         # stage assignment of every KKT row (for the block-tridiagonal
         # structured factorization, solver/banded.py)
         w_stage = np.zeros(L.size, int)
@@ -658,6 +710,69 @@ class MPC(Optimizer, IteratedVariables):
         h_stage = np.repeat(inst_k, nlr) if nlr else np.zeros(0, int)
         self._w_stage, self._g_stage, self._h_stage = (w_stage, g_stage,
                                                        h_stage)
+
+    def _build_shift_maps(self):
+        """Receding-horizon shift: source index of every primal/dual entry
+        one stage ahead (acados-style RTI warm-start shifting; the
+        reference warm-starts IPOPT unshifted, optimizer.py:763-777).
+
+        ``new[i] = old[src[i]]`` advances the solution by one stage along
+        the nominal (first) branch of the scenario tree; the last stage is
+        duplicated.  Returns dict(w=, lam=, z=) of int arrays sized
+        (n_w,), (m+q,), (n+q,) for primal, multipliers, bound duals.
+        """
+        L = self.layout
+        st = self.settings
+        N = st.n_horizon
+        tree = self.scenario_tree
+        child = tree["child_scenario"]
+        n = L.size
+        src_w = np.arange(n)
+
+        def copy_from(dst_key, src_key):
+            if src_key in L.offsets:
+                src_w[L.sl(dst_key)] = L.idx(src_key)
+
+        for key in list(L.offsets):
+            kind, k = key[0], key[1]
+            if kind == "x_node" and k < N:
+                copy_from(key, ("x_node", k + 1, child[k][key[2]][0]))
+            elif kind == "u" and k < N - 1:
+                s2 = 0 if st.open_loop else child[k][key[2]][0]
+                copy_from(key, ("u", k + 1, s2))
+            elif kind in ("x_coll", "z") and k < N - 1:
+                c2 = child[k + 1][key[2]][0]
+                copy_from(key, (kind, k + 1, c2))
+            elif kind == "eps" and k < N - 1:
+                copy_from(key, ("eps", k + 1, child[k][key[2]][0]))
+
+        # duals: instance (k, s, b) <- instance (k+1, child, b')
+        inst_index = {(i["k"], i["s"], i["b"]): idx
+                      for idx, i in enumerate(self._instances)}
+        E, nlr = self._rows_per_inst, self._nl_rows_per_inst
+        n_x = self.model.n_x
+        I = self.n_instances
+        src_inst = np.arange(I)
+        n_rob = st.n_robust
+        for idx, i in enumerate(self._instances):
+            k, s, b = i["k"], i["s"], i["b"]
+            if k >= N - 1:
+                continue
+            c = child[k][s][b]
+            b2 = b if (k + 1) < n_rob else 0
+            key2 = (k + 1, c, b2)
+            if key2 in inst_index:
+                src_inst[idx] = inst_index[key2]
+        src_g = np.concatenate([
+            np.arange(n_x),
+            (n_x + src_inst[:, None] * E + np.arange(E)[None, :]).reshape(-1)])
+        src_h = (src_inst[:, None] * nlr
+                 + np.arange(nlr)[None, :]).reshape(-1) if nlr \
+            else np.zeros(0, int)
+        m = self.n_opt_lagr
+        src_lam = np.concatenate([src_g, m + src_h])
+        src_z = np.concatenate([src_w, n + src_h])
+        return dict(w=src_w, lam=src_lam, z=src_z)
 
     def _chain_assignment(self):
         """Chain/stage assignment of every variable, row and instance for
@@ -788,17 +903,213 @@ class MPC(Optimizer, IteratedVariables):
 
         return prepare, solve
 
+    def _condensation_plan(self):
+        """Select the per-instance interior (collocation states/algebraics
+        + their residual rows) that stage condensation can eliminate.
+
+        Returns None when the transcription couples collocation interiors
+        across instances (nl_cons at collocation points, or z entering
+        nl_cons) — those configs fall back to the uncondensed band.
+        """
+        st = self.settings
+        model = self.model
+        n_x, n_z = model.n_x, model.n_z
+        n_coll = self.n_total_coll_points
+        seg_sl = self._seg_sl
+        E = self._rows_per_inst
+        if st.nl_cons_check_colloc_points and self.n_nl_cons:
+            return None
+        if n_z and self.n_nl_cons:
+            return None         # z referenced by nl_cons rows (z_s segment)
+        int_cols = []
+        if n_coll:
+            int_cols.append(np.arange(seg_sl["coll"].start,
+                                      seg_sl["coll"].stop))
+        if n_z:
+            int_cols.append(np.arange(seg_sl["z"].start,
+                                      seg_sl["z"].stop))
+        if not int_cols:
+            return None
+        int_cols = np.concatenate(int_cols)
+        n_int = len(int_cols)
+        if E - n_x != n_int:
+            return None         # interior not square; play safe
+        int_rows = np.arange(E - n_x)
+        bnd_rows = np.arange(E - n_x, E)
+        bnd_cols = np.setdiff1d(np.arange(self._inst_dim), int_cols)
+        A_int = self._A_all[:, int_cols]
+        # each interior column must be owned by exactly one instance
+        vals, counts = np.unique(A_int.reshape(-1), return_counts=True)
+        if np.any(counts != 1) or np.any(vals >= self.n_opt_x):
+            return None
+        return dict(int_cols=int_cols, bnd_cols=bnd_cols,
+                    int_rows=int_rows, bnd_rows=bnd_rows, A_int=A_int)
+
+    def _make_condensed_solve(self, delta_cons, n_refine=1):
+        """Condensed structured KKT backend: per-instance collocation
+        interiors are Schur-eliminated by batched dense solves (MXU food),
+        then the small boundary band — block size O(n_x + n_u) instead of
+        O(n_coll*n_x) — is swept by the BBD/Pallas path.  ~20x fewer
+        sequential-sweep flops than the uncondensed band on the CSTR
+        flagship (see solver/bbd.py:CondensedAssembler)."""
+        from ..solver.bbd import CondensedAssembler, bbd_solve
+        plan = self._condensation_plan()
+        assert plan is not None, "condensation not applicable here"
+        sp = self._struct_parts
+        (var_chain, var_stage, g_chain, g_stage, h_chain, h_stage,
+         init_cols) = self._chain_assignment()
+        n, m, q = self.n_opt_x, self.n_opt_lagr, self._n_ineq
+        n_x = self.model.n_x
+        R_g, R_h = sp["R_g"], sp["R_h"]
+        I, d = sp["I"], sp["d"]
+        nlr = sp["nlr"]
+        int_cols, bnd_cols = plan["int_cols"], plan["bnd_cols"]
+        int_rows, bnd_rows = plan["int_rows"], plan["bnd_rows"]
+        A_int = plan["A_int"]
+        R_g_int = R_g[:, int_rows]
+        B_cols = self._A_all[:, bnd_cols]
+        B_grows = R_g[:, bnd_rows]
+        skip_var = np.zeros(n, bool)
+        skip_var[A_int.reshape(-1)] = True
+        skip_g = np.zeros(m, bool)
+        skip_g[R_g_int.reshape(-1)] = True
+
+        assembler = CondensedAssembler(
+            var_chain, var_stage, g_chain, g_stage, h_chain, h_stage,
+            B_cols, B_grows, R_h, n, m, q, init_cols, skip_var, skip_g)
+        self._kkt_structure_cond = assembler
+
+        gather = sp["gather"]
+        d_g, d_h, d2_lag = sp["d_g"], sp["d_h"], sp["d2_lag"]
+        R_g_j, R_h_j = sp["R_g_j"], sp["R_h_j"]
+        omega, term_mask_f = sp["omega"], sp["term_mask_f"]
+        n_iv, n_bv = len(int_cols), len(bnd_cols)
+        n_ir, n_br = len(int_rows), len(bnd_rows)
+        n_ie = n_iv + n_ir
+        n_be = n_bv + n_br + nlr
+        ic_j = jnp.asarray(int_cols)
+        bc_j = jnp.asarray(bnd_cols)
+        A_int_j = jnp.asarray(A_int)
+        R_g_int_j = jnp.asarray(R_g_int)
+        R_h_flat_j = jnp.asarray(R_h.reshape(-1)) if nlr else None
+        use_pallas = jax.default_backend() == "tpu"
+
+        def prepare(w, pvec, lam_g, lam_h, sig_w, inv_sig_s):
+            V, tvp, tvpN, p = gather(w, pvec)
+            Lg = lam_g[R_g_j]
+            Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), w.dtype)
+            Hi = jax.vmap(d2_lag, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
+                V, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)
+            Jg_i = jax.vmap(d_g)(V, tvp, p)
+            Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
+                    else jnp.zeros((I, 0, d), w.dtype))
+            return (Hi, Jg_i, Jh_i, sig_w, inv_sig_s)
+
+        def solve(ctx, r_dw, r_g, r_h_mod, delta):
+            Hi, Jg_i, Jh_i, sig_w, inv_sig_s = ctx
+            dtype = r_dw.dtype
+            b_w, b_g = -r_dw, -r_g
+            b_h = -r_h_mod if q else jnp.zeros((0,), dtype)
+
+            H_ii = Hi[:, ic_j[:, None], ic_j[None, :]]
+            H_ib = Hi[:, ic_j[:, None], bc_j[None, :]]
+            H_bb = Hi[:, bc_j[:, None], bc_j[None, :]]
+            Jg_int = Jg_i[:, int_rows]          # (I, n_ir, d)
+            Jg_bnd = Jg_i[:, bnd_rows]          # (I, n_br, d)
+            J_ii = Jg_int[:, :, ic_j]
+            J_ib = Jg_int[:, :, bc_j]
+            Jb_ii = Jg_bnd[:, :, ic_j]          # bnd rows x int cols
+            Jb_ib = Jg_bnd[:, :, bc_j]
+            sig_int = sig_w[A_int_j] + delta    # (I, n_iv)
+            eye_ir = jnp.eye(n_ir, dtype=dtype)
+
+            M_ii = jnp.concatenate([
+                jnp.concatenate([
+                    H_ii + jax.vmap(jnp.diag)(sig_int),
+                    jnp.swapaxes(J_ii, 1, 2)], axis=2),
+                jnp.concatenate([
+                    J_ii, -delta_cons * jnp.broadcast_to(
+                        eye_ir, (I, n_ir, n_ir))], axis=2)], axis=1)
+
+            if nlr:
+                Jh_int = Jh_i[:, :, ic_j]
+                Jh_bnd = Jh_i[:, :, bc_j]
+                M_ib_top = jnp.concatenate(
+                    [H_ib, jnp.swapaxes(Jb_ii, 1, 2),
+                     jnp.swapaxes(Jh_int, 1, 2)], axis=2)
+            else:
+                M_ib_top = jnp.concatenate(
+                    [H_ib, jnp.swapaxes(Jb_ii, 1, 2)], axis=2)
+            M_ib_bot = jnp.concatenate(
+                [J_ib, jnp.zeros((I, n_ir, n_be - n_bv), dtype)], axis=2)
+            M_ib = jnp.concatenate([M_ib_top, M_ib_bot], axis=1)
+
+            # boundary block (rows diag: -delta_cons for eq rows,
+            # -(inv_sig_s + delta_cons) for h rows)
+            zer_rr = jnp.zeros((I, n_br, n_br + nlr), dtype)
+            M_bb_top = jnp.concatenate(
+                [H_bb, jnp.swapaxes(Jb_ib, 1, 2)]
+                + ([jnp.swapaxes(Jh_bnd, 1, 2)] if nlr else []), axis=2)
+            M_bb_mid = jnp.concatenate([Jb_ib, zer_rr], axis=2)
+            rows = [M_bb_top, M_bb_mid]
+            if nlr:
+                M_bb_bot = jnp.concatenate(
+                    [Jh_bnd, jnp.zeros((I, nlr, n_br + nlr), dtype)],
+                    axis=2)
+                rows.append(M_bb_bot)
+            M_bb = jnp.concatenate(rows, axis=1)
+            diag_rows = jnp.concatenate([
+                jnp.zeros((I, n_bv), dtype),
+                jnp.full((I, n_br), -delta_cons, dtype),
+                (-(inv_sig_s[R_h_flat_j].reshape(I, nlr) + delta_cons)
+                 if nlr else jnp.zeros((I, 0), dtype))], axis=1)
+            M_bb = M_bb + jax.vmap(jnp.diag)(diag_rows)
+
+            b_int = jnp.concatenate(
+                [b_w[A_int_j], b_g[R_g_int_j]], axis=1)   # (I, n_ie)
+            Y = jnp.linalg.solve(
+                M_ii, jnp.concatenate([M_ib, b_int[..., None]], axis=2))
+            C_i = M_bb - jnp.einsum("Iij,Iik->Ijk", M_ib, Y[..., :n_be])
+            corr = jnp.einsum("Iij,Ii->Ij", M_ib, Y[..., n_be])
+
+            D, U, Lo, Bord, Root = assembler.assemble(
+                C_i, sig_w + delta, -delta_cons * jnp.ones((n_x,), dtype))
+            rhs_c, rhs_r = assembler.pack_rhs(b_w, b_g, b_h)
+            rhs_c, rhs_r = assembler.add_corrections(rhs_c, rhs_r, corr)
+            n_ref = 0 if dtype == jnp.float32 else n_refine
+            x_c, x_r = bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r,
+                                 n_refine=n_ref, use_pallas=use_pallas)
+            dw, dg, dh, x_ent = assembler.unpack_sol(x_c, x_r)
+            x_int = Y[..., n_be] - jnp.einsum(
+                "Iib,Ib->Ii", Y[..., :n_be], x_ent)
+            dw = dw.at[A_int_j.reshape(-1)].set(
+                x_int[:, :n_iv].reshape(-1))
+            dg = dg.at[R_g_int_j.reshape(-1)].set(
+                x_int[:, n_iv:].reshape(-1))
+            return dw, dg, dh
+
+        return prepare, solve
+
+    def _make_kkt_backend(self, delta_cons, n_refine=1, allow_condensed=True):
+        """Pick the structured KKT backend: condensed band when the
+        transcription allows it, plain BBD band otherwise."""
+        st = self.settings
+        if (allow_condensed and st.kkt_solver in ("auto", "condensed")
+                and self._condensation_plan() is not None):
+            return self._make_condensed_solve(delta_cons,
+                                              n_refine=n_refine)
+        return self._make_structured_solve(delta_cons, n_refine=n_refine)
+
     def _create_solver(self):
         st = self.settings
-        ipm_settings = IPMSettings(tol=st.solver_tol,
-                                   max_iter=st.solver_max_iter)
+        ipm_settings = ipm_settings_from(st)
         n_stages = st.n_horizon + 1
-        use_tridiag = (st.kkt_solver == "tridiag"
-                       or (st.kkt_solver == "auto"
-                           and self.n_opt_x > 600 and n_stages >= 4))
+        use_structured = (st.kkt_solver in ("tridiag", "condensed")
+                          or (st.kkt_solver == "auto"
+                              and self.n_opt_x > 600 and n_stages >= 4))
         structured_solve = None
-        if use_tridiag:
-            structured_solve = self._make_structured_solve(
+        if use_structured:
+            structured_solve = self._make_kkt_backend(
                 ipm_settings.delta_cons)
         solve = make_ipm_solver(
             self._f_fn, self._g_fn, self._h_fn,
@@ -821,6 +1132,7 @@ class MPC(Optimizer, IteratedVariables):
         self.data.data_fields.update({"opt_p_num": self.n_opt_p})
         if self.settings.store_full_solution:
             self.data.data_fields.update({"_opt_x_num": self.n_opt_x})
+            self.data.data_fields.update({"_opt_aux_num": self.n_opt_aux})
             self.data._pred_layout = _PredictionLayout(self)
         if self.settings.store_lagr_multiplier:
             self.data.data_fields.update(
@@ -984,14 +1296,13 @@ class MPC(Optimizer, IteratedVariables):
                 * self._z_scaling.data
         else:
             z0 = np.zeros(0)
-        # aux at (k=0, s=0) like the reference (_mpc.py:1027)
-        x00 = self.opt_x_num[L.sl(("x_node", 0, 0))] * self._x_scaling.data
         tvp0 = self.opt_p_num[self._p_sl["tvp"]][:self.model.n_tvp]
         p0 = self.opt_p_num[self._p_sl["p"]][:self.model.n_p]
-        zlast = (self.opt_x_num[L.idx(("z", 0, 0))[-self.model.n_z:]]
-                 * self._z_scaling.data if self.model.n_z else np.zeros(0))
-        aux0 = np.asarray(self.model._aux_expression_fun(
-            x00, u0, zlast, tvp0, p0))
+        # full aux trajectory (reference opt_aux_num, optimizer.py:781-784);
+        # aux0 = opt_aux_num['_aux', 0, 0] (ref _mpc.py:1026)
+        self.opt_aux_num = np.asarray(self._opt_aux_fun(
+            jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num)))
+        aux0 = self.opt_aux_num[0]
 
         self.data.update(_x=x0)
         self.data.update(_u=u0)
@@ -1003,6 +1314,7 @@ class MPC(Optimizer, IteratedVariables):
         self.data.update(opt_p_num=self.opt_p_num)
         if self.settings.store_full_solution:
             self.data.update(_opt_x_num=self.opt_x_num_unscaled)
+            self.data.update(_opt_aux_num=self.opt_aux_num)
         if self.settings.store_lagr_multiplier:
             self.data.update(_lam_g_num=self.lam_g_num)
         stats_row = {k: v for k, v in self.solver_stats.items()
@@ -1026,9 +1338,10 @@ class _PredictionLayout:
         self.N = mpc.settings.n_horizon
         self.tree = mpc.scenario_tree
         self.model_specs = {vt: mpc.model.spec(vt) for vt in
-                            ("_x", "_u", "_z")}
+                            ("_x", "_u", "_z", "_aux")}
         self.open_loop = mpc.settings.open_loop
         self.n_coll = mpc.n_total_coll_points
+        self.n_aux = mpc.model.n_aux
 
     def extract(self, w, field, name, elem=None):
         L = self.layout
@@ -1057,6 +1370,23 @@ class _PredictionLayout:
                 cols.append(np.stack(traj))
         out = np.stack(cols, axis=-1)  # (horizon, n_elem, n_scen)
         out = np.moveaxis(out, 1, 0)   # (n_elem, horizon, n_scen)
+        if elem is not None:
+            out = out[np.asarray(elem).reshape(-1)]
+        return out
+
+    def extract_aux(self, aux_row, name, elem=None):
+        """Aux prediction from a stored _opt_aux_num row
+        (reference: data.py:246-372, '_aux' branch)."""
+        tree = self.tree
+        n_max = tree["n_scenarios"][-1]
+        struct = tree["structure_scenario"]
+        spec = self.model_specs["_aux"]
+        sl = spec.slice(name)
+        A = np.asarray(aux_row).reshape(self.N, n_max, self.n_aux)
+        cols = [np.stack([A[k, struct[k][scol]][sl] for k in range(self.N)])
+                for scol in range(n_max)]
+        out = np.stack(cols, axis=-1)
+        out = np.moveaxis(out, 1, 0)
         if elem is not None:
             out = out[np.asarray(elem).reshape(-1)]
         return out

@@ -97,9 +97,12 @@ class MPCData(Data):
             "prediction() requires store_full_solution=True")
         layout = self._pred_layout
         field, name = ind[0], ind[1]
+        elem = ind[2] if len(ind) > 2 else None
+        if field == "_aux":
+            return layout.extract_aux(self._opt_aux_num[int(t_ind)],
+                                      name, elem=elem)
         opt_x_num = self._opt_x_num[int(t_ind)]
-        return layout.extract(opt_x_num, field, name,
-                              elem=(ind[2] if len(ind) > 2 else None))
+        return layout.extract(opt_x_num, field, name, elem=elem)
 
 
 def save_results(save_list, result_name="results", result_path="./results/",

@@ -32,6 +32,11 @@ class MHESettings(EstimatorSettings):
     solver_tol: float = 1e-8
     solver_max_iter: int = 150
     warm_start_mu: float = 1e-4
+    solver_mu_init: float = 1e-1       # IPOPT mu_init
+    solver_reg_retries: int = 5        # regularization-ladder length
+    solver_use_soc: bool = True        # second-order correction step
+    solver_do_polish: bool = True      # active-set Newton polish
+    solver_ls_max: int = 25            # max halvings in line search
     kkt_solver: str = "auto"   # 'auto' | 'dense' | 'tridiag' (bordered band)
 
     def supress_ipopt_output(self):

@@ -27,7 +27,7 @@ from ..model._model import SymView
 from ..optimizer import Optimizer, OCPLayout, make_stage_residual
 from ..tools import NumStruct, StructSpec
 from ..data import Data
-from ..solver.ipm import make_ipm_solver, IPMSettings
+from ..solver.ipm import make_ipm_solver, IPMSettings, ipm_settings_from
 from .. import sym as casym
 from ._estimatorsettings import MHESettings
 
@@ -748,8 +748,7 @@ class MHE(Optimizer, IteratedVariables):
 
     def _create_solver(self):
         st = self.settings
-        ipm_settings = IPMSettings(tol=st.solver_tol,
-                                   max_iter=st.solver_max_iter)
+        ipm_settings = ipm_settings_from(st)
         use_structured = (getattr(st, "kkt_solver", "auto") == "tridiag"
                           or (getattr(st, "kkt_solver", "auto") == "auto"
                               and self.n_opt_x > 600

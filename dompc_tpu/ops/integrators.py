@@ -55,12 +55,12 @@ def make_ode_integrator(f, method="radau", substeps=1, deg=3, newton_iters=8,
     return step
 
 
-def make_dae_integrator(f, g, n_z, substeps=1, deg=3, newton_iters=8,
-                        newton_tol=1e-12):
-    """Implicit Radau IIA collocation integrator for an index-1 DAE.
+def make_radau_stage_solver(f, g, n_z, deg=3, newton_iters=8,
+                            newton_tol=1e-12):
+    """One implicit Radau IIA collocation step for an index-1 DAE.
 
     ``f(x, z, args) -> xdot``; ``g(x, z, args) -> residual (n_z,)``.
-    Returns ``step(x0, z0, args, h) -> (x(h), z(h))``.
+    Returns ``newton_solve(x0, z0, args, h) -> (x(h), z(h))``.
 
     The stage system is the same collocation form the reference's optimizer
     uses (do_mpc/optimizer.py:942-983): with node values X_0=x0, X_1..X_s at
@@ -115,6 +115,16 @@ def make_dae_integrator(f, g, n_z, substeps=1, deg=3, newton_iters=8,
         Z_end = y[s * nx + (s - 1) * n_z:] if n_z else z0
         return X_end, Z_end
 
+    return newton_solve
+
+
+def make_dae_integrator(f, g, n_z, substeps=1, deg=3, newton_iters=8,
+                        newton_tol=1e-12):
+    """Fixed-substep Radau IIA integrator: ``step(x0, z0, args, h)``."""
+    newton_solve = make_radau_stage_solver(f, g, n_z, deg=deg,
+                                           newton_iters=newton_iters,
+                                           newton_tol=newton_tol)
+
     def step(x0, z0, args, h):
         hs = h / substeps
 
@@ -125,6 +135,62 @@ def make_dae_integrator(f, g, n_z, substeps=1, deg=3, newton_iters=8,
 
         (x, z), _ = jax.lax.scan(body, (x0, z0), None, length=substeps)
         return x, z
+
+    return step
+
+
+def make_adaptive_dae_integrator(f, g, n_z, deg=3, abstol=1e-10,
+                                 reltol=1e-10, newton_iters=12,
+                                 init_substeps=4, max_steps=10_000):
+    """Error-controlled Radau IIA integrator honoring abstol/reltol.
+
+    This is the TPU-native stand-in for the reference's CVODES/IDAS
+    tolerances (do_mpc/simulator.py:90-97, abstol/reltol = 1e-10): local
+    error is estimated by step doubling (one step of h vs two of h/2;
+    Richardson factor 2^p - 1 with p = 2*deg - 1) and the step size follows
+    the classic I-controller h <- h * (1/err)^(1/(p+1)).  Static shapes —
+    the time stepping is a ``lax.while_loop`` whose trip count is data-
+    dependent but bounded by ``max_steps``, so the function jits and vmaps.
+
+    Returns ``step(x0, z0, args, h_total) -> (x(h_total), z(h_total))``.
+    """
+    p_order = 2 * deg - 1
+    newton_tol = max(min(abstol, reltol) * 1e-2, 1e-15)
+    newton_solve = make_radau_stage_solver(f, g, n_z, deg=deg,
+                                           newton_iters=newton_iters,
+                                           newton_tol=newton_tol)
+    rich = float(2 ** p_order - 1)
+
+    def step(x0, z0, args, h_total):
+        dtype = x0.dtype
+
+        def body(carry):
+            t, x, z, h, count = carry
+            h_eff = jnp.minimum(h, h_total - t)
+            x1, z1 = newton_solve(x, z, args, h_eff)       # single step
+            xh, zh = newton_solve(x, z, args, 0.5 * h_eff)  # two half steps
+            x2, z2 = newton_solve(xh, zh, args, 0.5 * h_eff)
+            scale = abstol + reltol * jnp.maximum(jnp.abs(x), jnp.abs(x2))
+            err = jnp.max(jnp.abs(x2 - x1) / scale) / rich
+            err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+            accept = err <= 1.0
+            t_n = jnp.where(accept, t + h_eff, t)
+            x_n = jnp.where(accept, x2, x)
+            z_n = jnp.where(accept, z2, z) if n_z else z
+            fac = 0.9 * jnp.where(err > 0, err, 1e-16) ** (-1.0 /
+                                                           (p_order + 1))
+            fac = jnp.clip(jnp.where(jnp.isfinite(fac), fac, 0.2), 0.2, 5.0)
+            h_n = jnp.minimum(h_eff * fac, h_total)
+            return (t_n, x_n, z_n, h_n, count + 1)
+
+        def cond(carry):
+            t, _, _, _, count = carry
+            return (t < h_total * (1.0 - 1e-12)) & (count < max_steps)
+
+        h0 = jnp.asarray(h_total / init_substeps, dtype)
+        t_f, x_f, z_f, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0.0, dtype), x0, z0, h0, 0))
+        return x_f, z_f
 
     return step
 

@@ -79,10 +79,11 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
     if throughput_mode or rti_iters:
         # under vmap every lax.cond branch executes, so each retry rung and
         # the second-order correction cost one full KKT sweep per iteration
-        # whether or not any instance needs them — keep the ladder minimal
-        # and let the adaptive prox damping carry robustness
+        # whether or not any instance needs them — drop the ladder entirely
+        # (profiled at 2x per-iteration cost) and let the non-finite step
+        # guard + adaptive prox damping carry robustness
         ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,
-                                   reg_retries=1, use_soc=False,
+                                   reg_retries=0, use_soc=False,
                                    do_polish=False, rti_iters=rti_iters)
         n_refine = 1
     else:
@@ -90,8 +91,12 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
         n_refine = 3
     structured = None
     if use_structured and hasattr(mpc, "_struct_parts"):
-        structured = mpc._make_structured_solve(ipm_settings.delta_cons,
-                                                n_refine=n_refine)
+        if hasattr(mpc, "_make_kkt_backend"):
+            structured = mpc._make_kkt_backend(ipm_settings.delta_cons,
+                                               n_refine=n_refine)
+        else:  # MHE: bordered band only
+            structured = mpc._make_structured_solve(
+                ipm_settings.delta_cons, n_refine=n_refine)
     solve = make_ipm_solver(
         mpc._f_fn, mpc._g_fn, mpc._h_fn,
         mpc._lb_opt_x, mpc._ub_opt_x,
@@ -134,6 +139,25 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
         return warm_jit(x0s, w0s, lam0s, mu0, zl0s, zu0s)
 
     return solve_batch
+
+
+def make_shift_fn(mpc):
+    """Receding-horizon warm-start shift for batched solutions.
+
+    Returns ``shift(sol) -> (w, lam, zl, zu)`` advancing an IPMSolution by
+    one stage along the nominal scenario branch (last stage duplicated) —
+    the acados-style RTI warm start.  Works on (B, ...) batches or single
+    vectors (indexes the last axis)."""
+    maps = mpc._build_shift_maps()
+    iw = jnp.asarray(maps["w"])
+    il = jnp.asarray(maps["lam"])
+    iz = jnp.asarray(maps["z"])
+
+    def shift(sol):
+        return (sol.w[..., iw], sol.lam[..., il],
+                sol.zl[..., iz], sol.zu[..., iz])
+
+    return shift
 
 
 def make_sharded_solver(mpc, mesh=None, tol=1e-6, max_iter=60,

@@ -56,6 +56,39 @@ class IPMSettings:
                                 # hot path for receding-horizon warm starts)
 
 
+def ipm_settings_from(st, **overrides) -> "IPMSettings":
+    """Build IPMSettings from an MPC/MHE settings object.
+
+    Mirrors the reference's full solver-option passthrough
+    (do_mpc/controller/_controllersettings.py:139-175, nlpsol_opts +
+    set_linear_solver): the ``solver_*`` dataclass fields map onto
+    IPMSettings, and IPOPT-style keys in ``nlpsol_opts`` (e.g.
+    ``{'ipopt.tol': 1e-10, 'ipopt.mu_init': 1e-2}``) are translated so
+    reference example code keeps working.
+    """
+    kw = dict(
+        tol=getattr(st, "solver_tol", 1e-8),
+        max_iter=getattr(st, "solver_max_iter", 200),
+        mu_init=getattr(st, "solver_mu_init", 1e-1),
+        reg_retries=getattr(st, "solver_reg_retries", 5),
+        use_soc=getattr(st, "solver_use_soc", True),
+        do_polish=getattr(st, "solver_do_polish", True),
+        ls_max=getattr(st, "solver_ls_max", 25),
+    )
+    ipopt_map = {
+        "ipopt.tol": ("tol", float),
+        "ipopt.max_iter": ("max_iter", int),
+        "ipopt.mu_init": ("mu_init", float),
+        "ipopt.max_soc": ("use_soc", lambda v: bool(int(v))),
+    }
+    for key, val in getattr(st, "nlpsol_opts", {}).items():
+        if key in ipopt_map:
+            name, conv = ipopt_map[key]
+            kw[name] = conv(val)
+    kw.update(overrides)
+    return IPMSettings(**kw)
+
+
 class IPMState(NamedTuple):
     w: jnp.ndarray
     s: jnp.ndarray
@@ -366,6 +399,19 @@ def make_ipm_solver(
             step = new_step
             prev_delta = jnp.where(bad, delta, prev_delta)
         dw, dlam_g, dlam_h = step
+        # Non-finite guard (load-bearing when reg_retries == 0, i.e.
+        # throughput mode, where no retry rung would catch a failed
+        # factorization): zero the step and escalate the Levenberg prox so
+        # the next iteration solves a better-regularized system.  A zero
+        # step is always "accepted" by the line search, so without this a
+        # single NaN would poison the whole solve under vmap.
+        step_ok = (jnp.all(jnp.isfinite(dw)) & jnp.all(jnp.isfinite(dlam_g))
+                   & jnp.all(jnp.isfinite(dlam_h)))
+        dw = jnp.where(step_ok, dw, 0.0)
+        dlam_g = jnp.where(step_ok, dlam_g, 0.0)
+        dlam_h = jnp.where(step_ok, dlam_h, 0.0)
+        prev_delta = jnp.where(step_ok, prev_delta,
+                               jnp.maximum(prox, 1e-8) * 100.0)
         if st.debug:
             jax.debug.print(
                 "  newton: |dw|={dwn:.2e}@{i} delta={d:.1e} res={r:.2e}",
