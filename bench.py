@@ -27,7 +27,7 @@ def main():
     from dompc_tpu.parallel import make_batch_solver, initial_guess_from_x0
 
     backend = jax.default_backend()
-    B = int(os.environ.get("DOMPC_BENCH_B", "32" if backend != "cpu"
+    B = int(os.environ.get("DOMPC_BENCH_B", "128" if backend != "cpu"
                            else "8"))
     reps = int(os.environ.get("DOMPC_BENCH_REPS", "3"))
 
@@ -83,14 +83,19 @@ def main():
     warm_iters = float(jnp.mean(sol_w.iterations.astype(jnp.float32)))
     warm_success = float(jnp.mean(sol_w.success.astype(jnp.float32)))
 
-    # real-time-iteration mode: fixed 2 Newton steps per solve at fixed mu,
-    # warm-started — the acados-style receding-horizon hot path.  Control
-    # quality: u0 within ~2% cost of the fully converged solve (see
-    # tests/test_rti.py); here we also report the cross-check.
+    # real-time-iteration mode: fixed Newton steps per solve with decaying
+    # barrier, Levenberg-damped and step-clipped, warm-started — the
+    # acados-style receding-horizon hot path.  Control quality gates live
+    # in tests/test_rti.py (nonlinear closed-loop CSTR); here we also
+    # report the same-state cross-check vs the converged warm solve.  The
+    # RTI barrier must MATCH the warm solution's barrier floor (tol/10):
+    # chasing a different mu was measured as a 13% first-input error.
     rti_n = int(os.environ.get("DOMPC_BENCH_RTI_ITERS", "2"))
     solve_rti = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
-                                  throughput_mode=True, rti_iters=rti_n)
-    M_r = jnp.full((B,), 1e-5, X.dtype)
+                                  throughput_mode=True, rti_iters=rti_n,
+                                  rti_prox=1e-2, rti_step_max=2.0,
+                                  rti_mu_decay=0.1)
+    M_r = jnp.full((B,), tol / 10.0, X.dtype)
     sol_r, u0s_r = solve_rti(X_w, W_w, L_w, M_r, sol.zl, sol.zu)
     u0s_r.block_until_ready()
     t0 = time.perf_counter()
@@ -103,6 +108,28 @@ def main():
     # the documented near-degenerate direction, BENCH.md)
     du_F = float(jnp.max(jnp.abs(u0s_r[:, 0] - u0s_w[:, 0])
                          / (1.0 + jnp.abs(u0s_w[:, 0]))))
+
+    # MFU (lower bound): analytic flop model of the per-iteration KKT
+    # linear algebra — interior condensation + band sweep + root Schur.
+    # AD/residual evaluations are excluded (not cleanly countable), so the
+    # true utilization is higher.  Peak assumption: TPU v5e f32 ~ 1/2 of
+    # the 197 Tflop/s bf16 MXU peak.
+    mfu = None
+    asm = getattr(mpc, "_kkt_structure_cond", None)
+    plan = mpc._condensation_plan()
+    if asm is not None and plan is not None:
+        C, S, b, R = asm.C, asm.S, asm.b, asm.R
+        n_be = asm.n_ent
+        n_ie = len(plan["int_cols"]) + len(plan["int_rows"])
+        I_n = mpc.n_instances
+        cond = I_n * (2 / 3 * n_ie ** 3 + 2 * n_ie ** 2 * (n_be + 1)
+                      + 4 * n_be * n_ie * n_be)
+        sweep = C * S * (b * 4 * (2 * b) * (3 * b + R + 1)
+                         + 2 * b * b * (R + 1))
+        schur = 2 * C * S * b * R * (R + 1) + (2 / 3) * R ** 3
+        flops_per_solve = (cond + sweep + schur) * max(warm_iters, 1.0)
+        peak_f32 = 98.5e12
+        mfu = flops_per_solve * warm_solves_per_s / peak_f32
 
     baseline_ipopt_solves_per_s = 15.0
     print(json.dumps({
@@ -125,6 +152,9 @@ def main():
         "rti_vs_warm_first_input_rel_err": round(du_F, 5),
         "tol": tol,
         "compile_plus_first_s": round(compile_and_first, 1),
+        "mfu_linalg": round(mfu, 5) if mfu is not None else None,
+        "mfu_note": "KKT linear-algebra flops only (AD excluded) vs "
+                    "v5e f32 peak 98.5 Tflop/s",
         "baseline_assumption": "IPOPT+MUMPS ~15 warm solves/s single core",
     }))
 

@@ -25,6 +25,20 @@ _jax.config.update(
     "jax_default_matmul_precision",
     os.environ.get("DOMPC_TPU_MATMUL_PRECISION", "highest"))
 
+# Persistent compilation cache by default: an MPC setup compiles a large
+# solver graph (tens of seconds through the TPU remote-compile tunnel) and
+# the reference's analogue is a cached gcc-compiled NLP .so
+# (do_mpc/optimizer.py:678-729, reused across runs at :718-719).  Users
+# should not pay that on every process.  Opt out with
+# DOMPC_TPU_CACHE_DIR="".
+_cache_dir = os.environ.get("DOMPC_TPU_CACHE_DIR", "/tmp/jax_cache")
+if _cache_dir and _jax.config.jax_compilation_cache_dir is None:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from . import sym
 from . import tools
 from . import model
@@ -50,9 +64,11 @@ except ImportError:
 try:
     import asyncua as _asyncua  # noqa: F401
     __ASYNCUA_INSTALLED__ = True
-    from . import opcua
 except ImportError:
     __ASYNCUA_INSTALLED__ = False
+# namespace/tag plumbing is importable without asyncua (RTClient/RTServer
+# are None in that case)
+from . import opcua
 
 try:
     import flax as _flax  # noqa: F401

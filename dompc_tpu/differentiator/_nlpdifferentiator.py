@@ -39,15 +39,34 @@ class NLPDifferentiator:
         self.status = NLPDifferentiatorStatus()
 
     def _active_sets(self, w, lam, zl, zu):
+        """Active bounds/inequalities by primal distance AND dual
+        magnitude (reference :347-394: 'primal' vs 'dual' detection; we
+        take the union so constraints held active by a significant
+        multiplier are kept even when the primal sits tol-outside).
+        Also records strict complementarity: entries where both the
+        primal gap and the dual are ~0 make the sensitivity set-valued
+        (reference SC check, :606-647)."""
         opt = self.opt
         lb, ub = opt._lb_opt_x, opt._ub_opt_x
         tol = self.settings.active_set_tol
-        act_lb = np.isfinite(lb) & (w - lb < tol)
-        act_ub = np.isfinite(ub) & (ub - w < tol)
         m = opt.n_opt_lagr
+        q = opt._n_ineq
+        lam_h = lam[m:m + q]
+        prim_lb = np.isfinite(lb) & (w - lb < tol)
+        prim_ub = np.isfinite(ub) & (ub - w < tol)
+        act_lb = prim_lb | (zl[:len(w)] > 1.0)
+        act_ub = prim_ub | (zu[:len(w)] > 1.0)
         hv = np.asarray(opt._h_fn(jnp.asarray(w),
                                   jnp.asarray(opt.opt_p_num)))
-        act_h = hv > -tol
+        prim_h = hv > -tol
+        act_h = prim_h | (lam_h > 1.0)
+        # strict complementarity: every active constraint needs a
+        # clearly-positive multiplier
+        weak = (np.any(prim_lb & (zl[:len(w)] <= tol))
+                or np.any(prim_ub & (zu[:len(w)] <= tol))
+                or np.any(prim_h & (lam_h <= tol)))
+        if self.settings.check_SC:
+            self.status.SC = not weak
         return act_lb, act_ub, act_h
 
     def differentiate(self, w=None, lam=None, pvec=None):
@@ -104,6 +123,9 @@ class NLPDifferentiator:
         if self.settings.check_LICQ:
             self.status.LICQ = bool(
                 np.linalg.matrix_rank(A, tol=1e-8) == n_act)
+        if self.settings.check_rank:
+            self.status.full_rank = bool(
+                np.linalg.matrix_rank(K, tol=1e-8) == dim)
         try:
             sens = np.linalg.solve(K, rhs)
             self.status.lse_solved = True

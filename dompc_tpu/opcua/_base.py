@@ -8,7 +8,6 @@ import time
 import numpy as np
 
 from ._helper import Namespace, NamespaceEntry
-from ._client import RTClient
 
 
 class RTBase:
@@ -16,14 +15,20 @@ class RTBase:
     read inputs from the server, step, write outputs back; periodic
     execution in a thread (reference async_step_start, _base.py:230-248)."""
 
-    def __init__(self, do_mpc_object, clientOpts, namespace=None):
+    def __init__(self, do_mpc_object, clientOpts, namespace=None,
+                 client_factory=None):
         self.do_mpc_object = do_mpc_object
         if namespace is None:
             self.namespace_from_model()
         else:
             self.def_namespace = namespace
         self.cycle_time = do_mpc_object.settings.t_step * clientOpts.timeunit
-        self.client = RTClient(clientOpts, self.def_namespace)
+        if client_factory is None:
+            # asyncua is an optional dependency; resolve it only when a
+            # real network client is actually requested so the namespace /
+            # tag plumbing stays unit-testable without the network stack
+            from ._client import RTClient as client_factory
+        self.client = client_factory(clientOpts, self.def_namespace)
         self.tagout = []
         self.tagin = []
         self.is_running = False
@@ -54,14 +59,34 @@ class RTBase:
     def set_read_tags(self, tagin):
         self.tagin = tagin
 
+    def read_from_tags(self):
+        """Read the registered input tags from the server
+        (reference: _base.py:210-217)."""
+        return np.array([self.client.readData(t)
+                         for t in self.tagin]).reshape(-1, 1)
+
+    def write_to_tags(self, data):
+        """Write an output vector to the registered output tags
+        (reference: _base.py:185-207, dtype handling included)."""
+        if hasattr(data, "data"):        # NumStruct
+            data = np.asarray(data.data)
+        elif isinstance(data, np.ndarray):
+            data = data.flatten()
+        else:
+            data = np.asarray(data, dtype=float).flatten()
+        if data.size != len(self.tagout):
+            raise RuntimeError(
+                f"Trying to write {data.size} elements to "
+                f"{len(self.tagout)} tags")
+        for tag, val in zip(self.tagout, data):
+            self.client.writeData(tag, float(val))
+
     def make_step(self):
         """One distributed step: read -> make_step -> write
         (reference: _base.py:175-183)."""
-        input_val = np.array([self.client.readData(t) for t in self.tagin])
-        output = self.do_mpc_object.make_step(input_val.reshape(-1, 1))
-        output = np.asarray(output).reshape(-1)
-        for tag, val in zip(self.tagout, output):
-            self.client.writeData(tag, float(val))
+        input_val = self.read_from_tags()
+        output = self.do_mpc_object.make_step(input_val)
+        self.write_to_tags(np.asarray(output).reshape(-1))
 
     def async_step_start(self):
         if self.new_init:

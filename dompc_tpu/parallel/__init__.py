@@ -15,7 +15,7 @@ reference has none either); the scenario tree is kept on-chip because its
 KKT coupling is stage-local.
 """
 from .batch import (make_batch_solver, make_sharded_solver, batch_mesh,
-                    initial_guess_from_x0, make_shift_fn)
+                    initial_guess_from_x0, make_shift_fn, init_distributed)
 
 __all__ = ["make_batch_solver", "make_sharded_solver", "batch_mesh",
-           "initial_guess_from_x0", "make_shift_fn"]
+           "initial_guess_from_x0", "make_shift_fn", "init_distributed"]

@@ -56,7 +56,8 @@ def initial_guess_from_x0(mpc, x0s):
 
 
 def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
-                      warm=True, throughput_mode=False, rti_iters=0):
+                      warm=True, throughput_mode=False, rti_iters=0,
+                      **ipm_overrides):
     """Return ``solve_batch(x0s, w0s, lam0s=None, mu0=None, zl0s=None,
     zu0s=None)``: a jitted vmapped solver over problem instances of the
     given MPC.
@@ -84,10 +85,12 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
         # guard + adaptive prox damping carry robustness
         ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,
                                    reg_retries=0, use_soc=False,
-                                   do_polish=False, rti_iters=rti_iters)
+                                   do_polish=False, rti_iters=rti_iters,
+                                   **ipm_overrides)
         n_refine = 1
     else:
-        ipm_settings = IPMSettings(tol=tol, max_iter=max_iter)
+        ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,
+                                   **ipm_overrides)
         n_refine = 3
     structured = None
     if use_structured and hasattr(mpc, "_struct_parts"):
@@ -161,19 +164,23 @@ def make_shift_fn(mpc):
 
 
 def make_sharded_solver(mpc, mesh=None, tol=1e-6, max_iter=60,
-                        axis_name="batch", use_structured=True):
+                        axis_name="batch", use_structured=True,
+                        throughput_mode=False, warm=False):
     """Shard the batch axis over a device mesh with ``shard_map``.
 
     Each device solves its shard with the vmapped solver; the success count
     is reduced with ``psum`` over ICI so every host sees the global rate.
-    The batch size must divide the mesh size.
+    The batch size must divide the mesh size.  ``warm=True`` returns a
+    function additionally accepting (lam0s, mu0s, zl0s, zu0s) for
+    receding-horizon warm starts.
     """
     shard_map = jax.shard_map
 
     if mesh is None:
         mesh = batch_mesh(axis_name=axis_name)
     solve_batch = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
-                                    use_structured=use_structured)
+                                    use_structured=use_structured,
+                                    throughput_mode=throughput_mode)
 
     def local_solve(x0s, w0s):
         sol, u0 = solve_batch(x0s, w0s)
@@ -181,9 +188,52 @@ def make_sharded_solver(mpc, mesh=None, tol=1e-6, max_iter=60,
                             axis_name)
         return u0, sol.iterations, n_ok
 
-    sharded = shard_map(
-        local_solve, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name), P(axis_name), P()),
-        check_vma=False)
+    def local_solve_warm(x0s, w0s, lam0s, mu0s, zl0s, zu0s):
+        sol, u0 = solve_batch(x0s, w0s, lam0s, mu0s, zl0s, zu0s)
+        n_ok = jax.lax.psum(jnp.sum(sol.success.astype(jnp.float32)),
+                            axis_name)
+        return u0, sol.iterations, n_ok
+
+    if warm:
+        sharded = shard_map(
+            local_solve_warm, mesh=mesh,
+            in_specs=(P(axis_name),) * 6,
+            out_specs=(P(axis_name), P(axis_name), P()),
+            check_vma=False)
+    else:
+        sharded = shard_map(
+            local_solve, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name), P()),
+            check_vma=False)
     return jax.jit(sharded), mesh
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize the JAX distributed runtime for multi-host meshes.
+
+    The reference scales sampling studies across processes by file-locking
+    (do_mpc/sampling/_sampler.py:218 + mp.Pool examples); the TPU-native
+    equivalent is one jax process per host joined into a global device
+    mesh over DCN.  Arguments default to the standard env variables
+    (COORDINATOR_ADDRESS, NUM_PROCESSES, PROCESS_ID) and the call is a
+    no-op when neither arguments nor env are present (single host).
+
+    Returns True when the distributed runtime was initialized."""
+    import os as _os
+    coordinator_address = (coordinator_address
+                           or _os.environ.get("COORDINATOR_ADDRESS"))
+    if coordinator_address is None:
+        return False
+    kw = {}
+    if num_processes is None and "NUM_PROCESSES" in _os.environ:
+        num_processes = int(_os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in _os.environ:
+        process_id = int(_os.environ["PROCESS_ID"])
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(coordinator_address, **kw)
+    return True

@@ -54,6 +54,21 @@ class IPMSettings:
                                 # many full Newton steps at fixed mu, no line
                                 # search / convergence loop (acados-style
                                 # hot path for receding-horizon warm starts)
+    rti_prox: float = 1e-3      # fixed Levenberg damping of RTI steps (the
+                                # acados `levenberg_marquardt` option):
+                                # without a line search, near-flat reduced-
+                                # Hessian directions otherwise produce huge
+                                # Newton steps that leave the convergence
+                                # basin (measured: KKT err 1e2..1e3 on the
+                                # robust CSTR after one plant step)
+    rti_step_max: float = 10.0  # trust-region cap on the RTI step: alpha is
+                                # scaled so |dw|_inf*alpha <= this (scaled
+                                # variables are O(1))
+    rti_mu_decay: float = 0.1   # per-RTI-iteration barrier decrease: at the
+                                # warm-start mu the central-path bias in
+                                # near-degenerate directions is O(mu/
+                                # lambda_min) — decaying mu each Newton step
+                                # tracks the true KKT point instead
 
 
 def ipm_settings_from(st, **overrides) -> "IPMSettings":
@@ -671,13 +686,19 @@ def make_ipm_solver(
     # convergence, do_mpc/optimizer.py:731-787); this is the TPU-native answer
     # to its `compile_nlp` "make the hot loop cheap" intent (optimizer.py:678).
     def rti_loop(state: IPMState, p):
-        def body(_, stt: IPMState):
-            w, s, lam, zl, zu, mu = (stt.w, stt.s, stt.lam, stt.zl, stt.zu,
-                                     stt.mu)
+        def body(i, stt: IPMState):
+            w, s, lam, zl, zu = stt.w, stt.s, stt.lam, stt.zl, stt.zu
+            mu = stt.mu * st.rti_mu_decay ** i
             dw, ds, dlam, dzl, dzu, _soc, delta_used = newton_step(
-                w, s, lam, zl, zu, p, mu, stt.prox)
+                w, s, lam, zl, zu, p, mu,
+                jnp.maximum(stt.prox, st.rti_prox))
             a_p, a_d = fraction_to_boundary(w, s, dw, ds, zl, zu, dzl, dzu,
                                             mu)
+            # trust-region cap: scale the whole primal-dual update uniformly
+            cap = jnp.minimum(1.0, st.rti_step_max
+                              / (jnp.max(jnp.abs(dw), initial=0.0) + 1e-12))
+            a_p = jnp.minimum(a_p, cap)
+            a_d = jnp.minimum(a_d, cap)
             w_n = w + a_p * dw
             s_n = s + a_p * ds
             lam_n = lam + a_p * dlam
@@ -696,7 +717,8 @@ def make_ipm_solver(
                          kap * mu / jnp.maximum(du, _TINY)),
                 0.0)
             return IPMState(w=w_n, s=s_n, lam=lam_n, zl=zl_n, zu=zu_n,
-                            mu=mu, it=stt.it + 1, converged=stt.converged,
+                            mu=stt.mu, it=stt.it + 1,
+                            converged=stt.converged,
                             kkt_err=stt.kkt_err, prox=stt.prox)
 
         final = jax.lax.fori_loop(0, st.rti_iters, body, state)
@@ -729,10 +751,24 @@ def make_ipm_solver(
         zu = jnp.concatenate([jnp.where(has_ub, z0v, 0.0),
                               jnp.zeros((q,), dtype)])
         if zl0 is not None:
-            # warm-started bound duals, kept safely positive
-            zl = jnp.where(zl0 > 1e-12, jnp.maximum(zl0, mu / 1e8), zl)
+            # warm-started bound duals, kept safely positive; entries the
+            # previous solve zeroed (active-set polish zeroes inactive
+            # duals) restart at the central-path value mu/dist — NOT at
+            # z_init=1, which sits far off the central path and makes the
+            # first warm Newton steps blow up (measured on RTI restarts)
+            dl_w0, dl_s0 = dist_l(w, s)
+            central_l = mu / jnp.maximum(
+                jnp.concatenate([dl_w0, dl_s0]), 1e-8)
+            mask_l0 = jnp.concatenate([has_lb, jnp.ones((q,), bool)])
+            zl = jnp.where(zl0 > 1e-12, jnp.maximum(zl0, mu / 1e8),
+                           jnp.where(mask_l0, central_l, 0.0))
         if zu0 is not None:
-            zu = jnp.where(zu0 > 1e-12, jnp.maximum(zu0, mu / 1e8), zu)
+            du_w0 = dist_u(w)
+            central_u = mu / jnp.maximum(
+                jnp.concatenate([du_w0, jnp.ones((q,), w.dtype)]), 1e-8)
+            mask_u0 = jnp.concatenate([has_ub, jnp.zeros((q,), bool)])
+            zu = jnp.where(zu0 > 1e-12, jnp.maximum(zu0, mu / 1e8),
+                           jnp.where(mask_u0, central_u, 0.0))
         return IPMState(w=w, s=s, lam=lam, zl=zl, zu=zu, mu=mu,
                         it=jnp.asarray(0), converged=jnp.asarray(False),
                         kkt_err=jnp.asarray(jnp.inf, dtype),

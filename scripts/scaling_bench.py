@@ -1,0 +1,81 @@
+"""Weak-scaling measurement on a virtual CPU device mesh.
+
+Runs the flagship sharded batched-NMPC solve (robust CSTR N=20, condensed
+structured KKT, throughput mode) at a fixed PER-DEVICE batch over meshes
+of different sizes and reports solves/s; weak-scaling efficiency is
+rate(n2)/rate(n1) * (n1/n2).  Multi-chip TPU hardware is not available in
+this environment (BENCH.md), so the mesh is n virtual CPU devices — the
+sharding/collective program is identical, only the backend differs.
+
+Usage:
+  python scripts/scaling_bench.py            # driver: runs 4- and 8-device
+  python scripts/scaling_bench.py <n_dev>    # one measurement (JSON line)
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def measure(n_devices, per_device_batch=4, reps=3):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", int(n_devices))
+    import jax.numpy as jnp
+    import numpy as np
+    from __graft_entry__ import _build_cstr_mpc
+    from dompc_tpu.parallel import (make_sharded_solver, batch_mesh,
+                                    initial_guess_from_x0)
+
+    mesh = batch_mesh(n_devices)
+    mpc = _build_cstr_mpc(n_horizon=20, n_robust=1, kkt_solver="auto")
+    x0 = np.array([0.8, 0.5, 134.14, 130.0])
+    mpc.x0 = x0
+    mpc.set_initial_guess()
+    B = per_device_batch * n_devices
+    rng = np.random.default_rng(0)
+    x0s = x0[None, :] * (1.0 + 0.01 * rng.standard_normal((B, 4)))
+    W = jnp.asarray(initial_guess_from_x0(mpc, x0s))
+    X = jnp.asarray(x0s)
+    sharded, _ = make_sharded_solver(mpc, mesh=mesh, tol=1e-3, max_iter=40,
+                                     throughput_mode=True)
+    u0s, iters, n_ok = sharded(X, W)
+    u0s.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u0s, iters, n_ok = sharded(X, W)
+        u0s.block_until_ready()
+    wall = time.perf_counter() - t0
+    return {"n_devices": n_devices, "batch": B,
+            "solves_per_s": round(B * reps / wall, 3),
+            "success": float(n_ok) / B}
+
+
+def main():
+    if len(sys.argv) > 1:
+        print(json.dumps(measure(int(sys.argv[1]))))
+        return
+    results = []
+    for n in (4, 8):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(n)],
+            capture_output=True, text=True, timeout=3000,
+            env=dict(os.environ, DOMPC_TPU_X64="0"))
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(line)
+    r4, r8 = results
+    eff = (r8["solves_per_s"] / r4["solves_per_s"]) * (4 / 8)
+    print(json.dumps({"metric": "weak_scaling_4to8_devices",
+                      "efficiency": round(eff, 3),
+                      "rate_4dev": r4["solves_per_s"],
+                      "rate_8dev": r8["solves_per_s"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Smoke tests for the user-facing example suite (reference convention:
+examples/<name>/template_{model,mpc,simulator,mhe}.py + main.py, e.g.
+/root/reference/examples/CSTR/template_mpc.py:44).  Each main must run a
+short closed loop on CPU; step counts are trimmed via env knobs."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples")
+
+
+def _run(rel, env_extra=None, timeout=1500):
+    env = dict(os.environ)
+    env["DOMPC_TPU_X64"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DOMPC_STEPS"] = "2"
+    env.update(env_extra or {})
+    path = os.path.join(EXAMPLES, rel)
+    res = subprocess.run(
+        [sys.executable, os.path.basename(path)],
+        cwd=os.path.dirname(path), env=env, timeout=timeout,
+        capture_output=True, text=True)
+    assert res.returncode == 0, (
+        f"{rel} failed:\n{res.stdout[-2000:]}\n{res.stderr[-3000:]}")
+    return res.stdout
+
+
+def test_example_oscillating_masses_discrete():
+    out = _run("oscillating_masses_discrete/main.py")
+    assert "k= 9" in out
+
+
+def test_example_lqr():
+    out = _run("lqr_examples/oscillating_masses_lqr.py")
+    assert "u=" in out
+
+
+@pytest.mark.slow
+def test_example_cstr():
+    out = _run("CSTR/main.py")
+    assert "C_b=" in out
+
+
+@pytest.mark.slow
+def test_example_batch_reactor():
+    out = _run("batch_reactor/main.py")
+    assert "P_s=" in out
+
+
+@pytest.mark.slow
+def test_example_rotating_masses_mhe_mpc():
+    out = _run("rotating_oscillating_masses_mhe_mpc/main.py")
+    assert "Theta_1_est=" in out
+
+
+@pytest.mark.slow
+def test_example_dip():
+    out = _run("double_inverted_pendulum/main.py",
+               env_extra={"DOMPC_DIP_N": "20"})
+    assert "force=" in out
+
+
+@pytest.mark.slow
+def test_example_cstr_approximate_mpc(tmp_path):
+    out = _run("CSTR_approximate_mpc/main.py",
+               env_extra={"DOMPC_AMPC_SAMPLES": "32"})
+    assert "train loss" in out
+
+
+@pytest.mark.slow
+def test_example_batch_reactor_differentiator():
+    out = _run("batch_reactor_differentiator/main.py")
+    assert "du0/dx0" in out

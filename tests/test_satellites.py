@@ -119,6 +119,60 @@ def test_approx_mpc_pipeline(tmp_path):
     approx.load_from_state_dict(path)
 
 
+def test_differentiator_active_inequality():
+    """Sensitivities at an ACTIVE nl_cons (the case the active-set logic
+    exists for, reference differentiator :347-394): with the first input
+    pinned by an active inequality u <= 0.3, du0/dx0 must be ~0 — and the
+    IFT only produces that when the active constraint row is included."""
+    def build():
+        model = systems.oscillating_masses_model()
+        mpc = dm.controller.MPC(model)
+        mpc.settings.n_horizon = 7
+        mpc.settings.t_step = 0.5
+        mpc.set_objective(mterm=model.aux["cost"], lterm=model.aux["cost"])
+        mpc.set_rterm(u=1e-4)
+        max_x = np.array([[4.0], [10.0], [4.0], [10.0]])
+        mpc.bounds["lower", "_x", "x"] = -max_x
+        mpc.bounds["upper", "_x", "x"] = max_x
+        mpc.bounds["lower", "_u", "u"] = -0.5
+        mpc.bounds["upper", "_u", "u"] = 0.5
+        mpc.set_nl_cons("ulim", model.u["u"], ub=0.3)
+        mpc.setup()
+        return mpc
+
+    mpc = build()
+    np.random.seed(99)
+    x0 = np.random.rand(4) - 0.5     # the seed where u0 wants > 0.3
+    mpc.x0 = x0
+    mpc.set_initial_guess()
+    u0 = mpc.make_step(x0)
+    assert abs(float(u0) - 0.3) < 1e-5, "nl_cons not active at this x0"
+    lam_h = mpc.lam_g_num[mpc.n_opt_lagr:]
+    assert np.max(lam_h) > 1e-4, "active constraint has ~zero multiplier"
+
+    diff = dm.differentiator.DoMPCDifferentiator(mpc)
+    diff.settings.check_LICQ = True
+    diff.settings.check_SC = True
+    dx_dp, _ = diff.differentiate()
+    du_dx0 = dx_dp[mpc.layout.sl(("u", 0, 0)), mpc._p_sl["x0"]]
+    assert diff.status.LICQ
+
+    # finite differences over fresh solves: u stays pinned at 0.3
+    eps = 1e-5
+    for i in range(2):
+        us = []
+        for sgn in (+1, -1):
+            m2 = build()
+            x0p = x0.copy()
+            x0p[i] += sgn * eps
+            m2.x0 = x0p
+            m2.set_initial_guess()
+            us.append(float(m2.make_step(x0p)))
+        fd = (us[0] - us[1]) / (2 * eps)
+        assert abs(du_dx0[0, i] - fd) < 1e-4, (du_dx0[0, i], fd)
+    np.testing.assert_allclose(np.asarray(du_dx0), 0.0, atol=1e-6)
+
+
 def test_graphics_smoke(tmp_path):
     import matplotlib
     matplotlib.use("Agg")
