@@ -91,10 +91,13 @@ def main():
     # RTI barrier must MATCH the warm solution's barrier floor (tol/10):
     # chasing a different mu was measured as a 13% first-input error.
     rti_n = int(os.environ.get("DOMPC_BENCH_RTI_ITERS", "2"))
+    # light damping + matched (non-decaying) barrier for the same-state
+    # cross-check; the closed-loop tests use heavier damping + decay
+    # (tests/test_rti.py) — both are exercised configurations.
     solve_rti = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
                                   throughput_mode=True, rti_iters=rti_n,
-                                  rti_prox=1e-2, rti_step_max=2.0,
-                                  rti_mu_decay=0.1)
+                                  rti_prox=1e-3, rti_step_max=10.0,
+                                  rti_mu_decay=1.0)
     M_r = jnp.full((B,), tol / 10.0, X.dtype)
     sol_r, u0s_r = solve_rti(X_w, W_w, L_w, M_r, sol.zl, sol.zu)
     u0s_r.block_until_ready()

@@ -16,6 +16,17 @@ import jax as _jax
 if os.environ.get("DOMPC_TPU_X64") == "1":
     _jax.config.update("jax_enable_x64", True)
 
+# Platform override that works even when the environment pre-imports jax
+# with a fixed platform before user code runs (JAX_PLATFORMS is read at
+# import time and may be ignored; backends initialize lazily, so a config
+# update here still takes effect).
+_plat = os.environ.get("DOMPC_TPU_PLATFORM")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 # TPU float32 matmuls default to bfloat16-grade precision, which floors the
 # achievable KKT residual near 1e-3 — fatal for an optimizer (measured: the
 # XLA QR band sweep's true residual is ~4e-4 at default precision vs ~3e-6

@@ -1067,8 +1067,12 @@ class MPC(Optimizer, IteratedVariables):
 
             b_int = jnp.concatenate(
                 [b_w[A_int_j], b_g[R_g_int_j]], axis=1)   # (I, n_ie)
-            Y = jnp.linalg.solve(
-                M_ii, jnp.concatenate([M_ib, b_int[..., None]], axis=2))
+            rhs_int = jnp.concatenate([M_ib, b_int[..., None]], axis=2)
+            if use_pallas:   # TPU: batch-in-lanes QR (batched LU profiled
+                from ..solver.batchqr import qr_solve   # 162ms at B=128)
+                Y = qr_solve(M_ii, rhs_int)
+            else:
+                Y = jnp.linalg.solve(M_ii, rhs_int)
             C_i = M_bb - jnp.einsum("Iij,Iik->Ijk", M_ib, Y[..., :n_be])
             corr = jnp.einsum("Iij,Ii->Ij", M_ib, Y[..., n_be])
 

@@ -43,7 +43,8 @@ class Graphics:
             line["pred_handles"] = []
 
     def plot_results(self, t_ind=None):
-        """Plot logged trajectories up to t_ind (reference :289)."""
+        """Plot logged trajectories up to t_ind (reference :289); inputs
+        are drawn as zero-order-hold steps like the reference."""
         t = self.data._time[:t_ind].reshape(-1) if t_ind is not None \
             else self.data._time.reshape(-1)
         for line in self.line_list:
@@ -51,7 +52,10 @@ class Graphics:
             arr = self.data[vt, vn] if vn else self.data[vt]
             arr = arr[:len(t)]
             self.clear_line(line, "result_handles")
-            handles = line["axis"].plot(t, arr, **line["kwargs"])
+            kwargs = dict(line["kwargs"])
+            if vt == "_u":
+                kwargs.setdefault("drawstyle", "steps-post")
+            handles = line["axis"].plot(t, arr, **kwargs)
             line["result_handles"] = list(handles)
             self.result_lines[(vt, vn)] = list(handles)
 
@@ -71,18 +75,33 @@ class Graphics:
         t_step = self.data.meta_data.get("t_step", 1.0)
         for line in self.line_list:
             vt, vn = line["var_type"], line["var_name"]
-            if vt not in ("_x", "_u", "_z"):
+            if vt not in ("_x", "_u", "_z", "_aux"):
                 continue
-            opt_x_num = self.data._opt_x_num[t_ind]
-            traj = layout.extract(opt_x_num, vt, vn)  # (n_el, T, n_scen)
+            if vt == "_aux":
+                traj = layout.extract_aux(
+                    self.data._opt_aux_num[t_ind], vn)
+            else:
+                opt_x_num = self.data._opt_x_num[t_ind]
+                traj = layout.extract(opt_x_num, vt, vn)  # (n_el, T, nsc)
             n_el, T, n_scen = traj.shape
             tgrid = t0 + t_step * np.arange(T)
             self.clear_line(line, "pred_handles")
+            # every scenario branch of element i inherits the color of
+            # element i's result line (reference graphics.py:312-349: the
+            # robust-MPC fan is color-matched to the measured trajectory)
+            result_handles = line["result_handles"]
             handles = []
-            for s in range(n_scen):
-                hs = line["axis"].plot(tgrid, traj[:, :, s].T, "--",
-                                       **line["kwargs"])
-                handles += list(hs)
+            kwargs = dict(line["kwargs"])
+            step_style = {"drawstyle": "steps-post"} if vt == "_u" else {}
+            for i in range(n_el):
+                color = (result_handles[i].get_color()
+                         if i < len(result_handles) else None)
+                for s in range(n_scen):
+                    hs = line["axis"].plot(
+                        tgrid, traj[i, :, s], "--",
+                        **({"color": color} if color else {}),
+                        **step_style, **kwargs)
+                    handles += list(hs)
             line["pred_handles"] = handles
             self.pred_lines[(vt, vn)] = handles
 

@@ -662,7 +662,14 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
     lax.scan of XLA QR panels — float32 only.
     """
     C, S, b, R = Bord.shape
-    pallas_ok = use_pallas and D.dtype == jnp.float32
+    # accelerator backends: 'lanes' = batch-in-lanes XLA sweep (default —
+    # an outer vmap flattens into the lane batch via its custom-vmap rule,
+    # profiled fastest at b ~ 13), 'pallas' = fused VMEM kernel (best at
+    # larger b), 'scan' = per-chain XLA QR panels (CPU/f64 reference).
+    import os as _os
+    choice = _os.environ.get("DOMPC_TPU_BAND_BACKEND",
+                             "lanes" if use_pallas else "scan")
+    pallas_ok = choice == "pallas" and D.dtype == jnp.float32
 
     def one_solve(rc, rr):
         aug = jnp.concatenate([Bord, rc[..., None]], axis=-1) if R \
@@ -670,6 +677,9 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
         if pallas_ok:
             from .pallas_band import band_solve_qr_pallas
             Y = band_solve_qr_pallas(D, U, Lo, aug)       # (C,S,b,R+1)
+        elif choice == "lanes":
+            from .batchqr import band_solve
+            Y = band_solve(D, U, Lo, aug)
         else:
             Y = jax.vmap(band_solve_qr_multi)(D, U, Lo, aug)
         if not R:

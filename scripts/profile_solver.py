@@ -76,9 +76,84 @@ def main():
                       "mean_iters": round(it_w, 2),
                       "s_per_iter": round(t_warm / max(it_w, 1), 4)}))
 
+    # ---- condensed-path sub-pieces ------------------------------------------
+    plan = mpc._condensation_plan()
+    if plan is not None:
+        asm = mpc._kkt_structure_cond
+        I_n = mpc.n_instances
+        n_ie = len(plan["int_cols"]) + len(plan["int_rows"])
+        n_be = asm.n_ent
+        key = jax.random.PRNGKey(0)
+        M = jax.random.normal(key, (B, I_n, n_ie, n_ie)) \
+            + 3.0 * jnp.eye(n_ie)
+        RHS = jax.random.normal(key, (B, I_n, n_ie, n_be + 1))
+        f_int = jax.jit(lambda m, r: jnp.linalg.solve(m, r))
+        t_int = timeit(lambda: f_int(M, RHS))
+        print(json.dumps({"what": "interior_batched_solve", "B": B,
+                          "shape": [I_n, n_ie, n_be + 1],
+                          "s": round(t_int, 4)}))
+        from dompc_tpu.solver.batchqr import qr_solve, band_solve
+        f_int2 = jax.jit(jax.vmap(qr_solve))
+        t_int2 = timeit(lambda: f_int2(M, RHS))
+        print(json.dumps({"what": "interior_lanes_qr", "B": B,
+                          "s": round(t_int2, 4)}))
+        Ci = jax.random.normal(key, (B, I_n, n_be, n_be))
+        sigd = jnp.abs(jax.random.normal(key, (B, mpc.n_opt_x)))
+        gdi = jnp.zeros((B, mpc.model.n_x))
+        f_asm = jax.jit(jax.vmap(asm.assemble))
+        t_asm = timeit(lambda: f_asm(Ci, sigd, gdi))
+        print(json.dumps({"what": "condensed_assemble", "B": B,
+                          "s": round(t_asm, 4)}))
+        from dompc_tpu.solver.pallas_band import band_solve_qr_pallas
+        C_, S_, b_, R_ = asm.C, asm.S, asm.b, asm.R
+        Dc = jax.random.normal(key, (B * C_, S_, b_, b_),
+                               dtype=jnp.float32) + 3 * jnp.eye(b_,
+                                                                dtype=jnp.float32)
+        Uc = jax.random.normal(key, (B * C_, S_ - 1, b_, b_),
+                               dtype=jnp.float32)
+        Lc = jax.random.normal(key, (B * C_, S_ - 1, b_, b_),
+                               dtype=jnp.float32)
+        rc = jax.random.normal(key, (B * C_, S_, b_, R_ + 1),
+                               dtype=jnp.float32)
+        f_sw = jax.jit(lambda d, u, l, a: band_solve_qr_pallas(d, u, l, a))
+        t_sw = timeit(lambda: f_sw(Dc, Uc, Lc, rc))
+        print(json.dumps({"what": "condensed_sweep", "B": B,
+                          "chains": B * C_, "S": S_, "b": b_, "t": R_ + 1,
+                          "s": round(t_sw, 4)}))
+        f_sw2 = jax.jit(band_solve)
+        t_sw2 = timeit(lambda: f_sw2(Dc, Uc, Lc, rc))
+        print(json.dumps({"what": "condensed_sweep_lanes", "B": B,
+                          "s": round(t_sw2, 4)}))
+
+    # ---- condensed full prepare/solve on realistic data ---------------------
+    ipm_delta = 1e-11
+    if plan is not None:
+        prep_c, solve_c = mpc._make_condensed_solve(ipm_delta)
+        n_, m_, q_ = mpc.n_opt_x, mpc.n_opt_lagr, mpc._n_ineq
+        base_pc = mpc._assemble_opt_p(x0)
+        pvecs_c = jnp.asarray(np.tile(base_pc, (B, 1)))
+        lam_gc = sol.lam[:, :m_]
+        lam_hc = sol.lam[:, m_:]
+        sig_c = jnp.abs(jnp.asarray(rng.standard_normal((B, n_)))) * 1e-2
+        isig_c = jnp.abs(jnp.asarray(rng.standard_normal((B, q_)))) * 1e2
+        prep_cv = jax.jit(jax.vmap(prep_c))
+        ctx_c = prep_cv(sol.w, pvecs_c, lam_gc, lam_hc, sig_c, isig_c)
+        t_prep_c = timeit(lambda: prep_cv(sol.w, pvecs_c, lam_gc, lam_hc,
+                                          sig_c, isig_c))
+        print(json.dumps({"what": "condensed_prepare", "B": B,
+                          "s": round(t_prep_c, 4)}))
+        rdw_c = jnp.asarray(rng.standard_normal((B, n_)))
+        rg_c = jnp.asarray(rng.standard_normal((B, m_)))
+        rh_c = jnp.asarray(rng.standard_normal((B, q_)))
+        del_c = jnp.full((B,), 1e-8)
+        solve_cv = jax.jit(jax.vmap(solve_c))
+        t_solve_c = timeit(lambda: solve_cv(ctx_c, rdw_c, rg_c, rh_c,
+                                            del_c))
+        print(json.dumps({"what": "condensed_kkt_solve", "B": B,
+                          "s": round(t_solve_c, 4)}))
+
     # ---- structured pieces on realistic data --------------------------------
     from dompc_tpu.solver.bbd import bbd_solve
-    ipm_delta = 1e-11
     prepare, solve_ctx = mpc._make_structured_solve(ipm_delta)
     n, m, q = mpc.n_opt_x, mpc.n_opt_lagr, mpc._n_ineq
     base_p = mpc._assemble_opt_p(x0)

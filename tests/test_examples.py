@@ -15,7 +15,9 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
 def _run(rel, env_extra=None, timeout=1500):
     env = dict(os.environ)
     env["DOMPC_TPU_X64"] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
+    # JAX_PLATFORMS is ignored when the image pre-imports jax; the library
+    # honors DOMPC_TPU_PLATFORM instead (dompc_tpu/__init__.py)
+    env["DOMPC_TPU_PLATFORM"] = "cpu"
     env["DOMPC_STEPS"] = "2"
     env.update(env_extra or {})
     path = os.path.join(EXAMPLES, rel)
