@@ -1,0 +1,15 @@
+"""Simulator for the Lotka-Volterra system (mirrors reference
+examples/Lotka_Volterra/template_simulator.py)."""
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import dompc_tpu as dm
+
+
+def template_simulator(model):
+    simulator = dm.Simulator(model)
+    simulator.set_param(t_step=0.3, substeps=4)
+    simulator.setup()
+    return simulator

@@ -1,0 +1,16 @@
+"""Simulator for the real mass-spring-damper plant (mirrors reference
+examples/tools/pytorch_2_do-mpc/template_simulator.py)."""
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                "..", "..", ".."))
+
+import dompc_tpu as dm
+
+
+def template_simulator(model):
+    simulator = dm.Simulator(model)
+    simulator.set_param(t_step=0.1, substeps=4)
+    simulator.setup()
+    return simulator

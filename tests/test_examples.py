@@ -76,3 +76,66 @@ def test_example_cstr_approximate_mpc(tmp_path):
 def test_example_batch_reactor_differentiator():
     out = _run("batch_reactor_differentiator/main.py")
     assert "du0/dx0" in out
+
+
+def test_example_kinematic_bicycle():
+    out = _run("kinematic_bicycle_model/main.py")
+    assert "Delta=" in out
+
+
+@pytest.mark.slow
+def test_example_dynamic_bicycle():
+    out = _run("dynamic_bicycle_model/main.py")
+    assert "Y_p=" in out
+
+
+@pytest.mark.slow
+def test_example_lotka_volterra():
+    out = _run("Lotka_Volterra/main.py")
+    assert "prey=" in out
+
+
+@pytest.mark.slow
+def test_example_industrial_poly():
+    out = _run("industrial_poly/main.py")
+    assert "m_P=" in out
+
+
+@pytest.mark.slow
+def test_example_kite():
+    out = _run("kite/main.py", env_extra={"DOMPC_KITE_N": "20"})
+    assert "height=" in out
+
+
+def test_example_oscillating_masses_discrete_dae():
+    out = _run("oscillating_masses_discrete_dae/main.py")
+    assert "cost=" in out
+
+
+@pytest.mark.slow
+def test_example_triple_tank_ekf():
+    out = _run("triple_tank_ekf/main.py", env_extra={"DOMPC_STEPS": "30"})
+    assert "estimate err" in out
+
+
+def test_example_tools_sampling():
+    out = _run("tools/sampling/main.py")
+    assert "batched results" in out
+
+
+@pytest.mark.slow
+def test_example_tools_nlpdifferentiator():
+    out = _run("tools/nlpdifferentiator/demo_nlp_differentiator.py")
+    assert "ACTIVE" in out and "FD   du3*/dx0" in out
+
+
+def test_example_tools_onnx():
+    out = _run("tools/onnx_conversion/onnx_conversion_01.py")
+    assert "MLP output via ONNX ops" in out
+
+
+@pytest.mark.slow
+def test_example_tools_pytorch(tmp_path):
+    out = _run("tools/pytorch_2_dompc/main.py",
+               env_extra={"DOMPC_EPOCHS": "150", "DOMPC_STEPS": "3"})
+    assert "surrogate-driven MPC" in out
