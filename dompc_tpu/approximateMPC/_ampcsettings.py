@@ -37,3 +37,7 @@ class TrainerSettings:
     save_fig: bool = False
     save_history: bool = False
     results_dir: str = "./training"
+    # Shard training batches over all visible devices (replicated params,
+    # batch split on a 1-D "data" mesh; XLA inserts the gradient
+    # all-reduce).  Auto-disabled on a single device.
+    data_parallel: bool = True

@@ -59,6 +59,31 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        # Data-parallel over all visible devices: replicate (params,
+        # opt_state), shard each batch's leading axis on a 1-D "data"
+        # mesh.  The mean-loss gradient then contains a cross-shard sum,
+        # which XLA lowers to an all-reduce over ICI — the pmap-free SPMD
+        # idiom (reference parity: the torch Trainer is single-device,
+        # do_mpc/approximateMPC/_trainer.py).
+        self._mesh = None
+        batch_sharding = None
+        if st.data_parallel and jax.device_count() > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            n_dev = jax.device_count()
+            self._mesh = Mesh(np.array(jax.devices()), ("data",))
+            batch_sharding = NamedSharding(self._mesh,
+                                           PartitionSpec("data"))
+            replicated = NamedSharding(self._mesh, PartitionSpec())
+            params = jax.device_put(params, replicated)
+            opt_state = jax.device_put(opt_state, replicated)
+
+        def _put(xb, yb):
+            if batch_sharding is not None and xb.shape[0] % \
+                    self._mesh.devices.size == 0:
+                xb = jax.device_put(xb, batch_sharding)
+                yb = jax.device_put(yb, batch_sharding)
+            return xb, yb
+
         val_loss_fn = jax.jit(loss_fn)
         best_val = np.inf
         patience = 0
@@ -74,6 +99,7 @@ class Trainer:
             for i in range(steps_per_epoch):
                 xb = Xtr[i * bs:(i + 1) * bs]
                 yb = Ytr[i * bs:(i + 1) * bs]
+                xb, yb = _put(xb, yb)
                 params, opt_state, loss = train_step(
                     params, opt_state, xb, yb, jnp.asarray(lr_mult))
                 ep_loss += float(loss)

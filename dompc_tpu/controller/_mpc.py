@@ -24,6 +24,7 @@ from ..model._iteratedvariables import IteratedVariables
 from ..optimizer import (Optimizer, OCPLayout, build_scenario_tree,
                          make_stage_residual)
 from ..tools import NumStruct, StructSpec
+from ..tools import _profiler as profiler
 from ..data import MPCData
 from ..solver.ipm import make_ipm_solver, IPMSettings, ipm_settings_from
 from .. import sym as casym
@@ -1200,15 +1201,18 @@ class MPC(Optimizer, IteratedVariables):
         optimizer.py:731-787).  Warm-starts from the previous solution."""
         assert self.flags["setup"], "MPC was not setup yet."
         t_start = _time.perf_counter()
-        if self.flags["initial_run"]:
-            sol = self._solve_jit(
-                jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num),
-                jnp.asarray(self._lam_warm),
-                jnp.asarray(self.settings.warm_start_mu),
-                jnp.asarray(self._zl_warm), jnp.asarray(self._zu_warm))
-        else:
-            sol = self._solve_jit(
-                jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
+        self._n_solves = getattr(self, "_n_solves", 0) + 1
+        with profiler.step_annotation("dompc_tpu.MPC.solve",
+                                      self._n_solves):
+            if self.flags["initial_run"]:
+                sol = self._solve_jit(
+                    jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num),
+                    jnp.asarray(self._lam_warm),
+                    jnp.asarray(self.settings.warm_start_mu),
+                    jnp.asarray(self._zl_warm), jnp.asarray(self._zu_warm))
+            else:
+                sol = self._solve_jit(
+                    jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
         w = np.array(sol.w)
         self._last_sol = sol
         self.opt_x_num = w

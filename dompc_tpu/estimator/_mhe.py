@@ -26,6 +26,7 @@ from ..model._iteratedvariables import IteratedVariables
 from ..model._model import SymView
 from ..optimizer import Optimizer, OCPLayout, make_stage_residual
 from ..tools import NumStruct, StructSpec
+from ..tools import _profiler as profiler
 from ..data import Data
 from ..solver.ipm import make_ipm_solver, IPMSettings, ipm_settings_from
 from .. import sym as casym
@@ -819,15 +820,18 @@ class MHE(Optimizer, IteratedVariables):
 
     def solve(self):
         t_start = _time.perf_counter()
-        if self.flags["initial_run"]:
-            sol = self._solve_jit(
-                jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num),
-                jnp.asarray(self._lam_warm),
-                jnp.asarray(self.settings.warm_start_mu),
-                jnp.asarray(self._zl_warm), jnp.asarray(self._zu_warm))
-        else:
-            sol = self._solve_jit(
-                jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
+        self._n_solves = getattr(self, "_n_solves", 0) + 1
+        with profiler.step_annotation("dompc_tpu.MHE.solve",
+                                      self._n_solves):
+            if self.flags["initial_run"]:
+                sol = self._solve_jit(
+                    jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num),
+                    jnp.asarray(self._lam_warm),
+                    jnp.asarray(self.settings.warm_start_mu),
+                    jnp.asarray(self._zl_warm), jnp.asarray(self._zu_warm))
+            else:
+                sol = self._solve_jit(
+                    jnp.asarray(self.opt_x_num), jnp.asarray(self.opt_p_num))
         self.opt_x_num = np.array(sol.w)
         self.opt_x_num_unscaled = self.opt_x_num * self.opt_x_scaling
         self._lam_warm = np.asarray(sol.lam)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .model._iteratedvariables import IteratedVariables
 from .tools import NumStruct, FieldAccessor
+from .tools import _profiler as profiler
 from .data import Data
 from .ops.integrators import (make_adaptive_dae_integrator,
                               make_dae_integrator, make_ode_integrator,
@@ -199,7 +200,8 @@ class Simulator(IteratedVariables):
     def simulate(self):
         """One raw integration step using current internal values
         (reference: simulator.py:690-755)."""
-        x, z = self._sim_jit(*self._sim_args)
+        with profiler.annotate("dompc_tpu.Simulator.simulate"):
+            x, z = self._sim_jit(*self._sim_args)
         return np.asarray(x), np.asarray(z)
 
     def make_step(self, u0=None, v0=None, w0=None) -> np.ndarray:

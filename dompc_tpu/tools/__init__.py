@@ -9,6 +9,7 @@ re-implemented directly.
 """
 from ._structure import StructSpec, NumStruct, FieldAccessor, Structure
 from ._timer import Timer
+from . import _profiler as profiler
 import pickle
 import os
 import sys

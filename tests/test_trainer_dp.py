@@ -1,0 +1,46 @@
+"""Data-parallel policy training (SURVEY §2.3 "NN training DP"): batches
+sharded over the 8-device CPU mesh with replicated params must reproduce
+the single-device training trajectory (same arithmetic; XLA inserts the
+gradient all-reduce)."""
+import numpy as np
+
+import dompc_tpu as dm
+import systems
+
+
+def _train(data_parallel):
+    model = systems.oscillating_masses_model()
+    mpc = systems.oscillating_masses_mpc(model)
+    approx = dm.approximateMPC.ApproxMPC(mpc)
+    settings = dm.approximateMPC.TrainerSettings(
+        n_epochs=30, batch_size=64, learning_rate=3e-3,
+        print_frequency=0, shuffle=False, data_parallel=data_parallel)
+    trainer = dm.approximateMPC.Trainer(approx, settings)
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-1.0, 1.0, (256, 4))
+    U_prev = rng.uniform(-0.4, 0.4, (256, 1))
+    U = np.clip(-0.3 * X[:, :1] + 0.1 * U_prev, -0.5, 0.5)
+    hist = trainer.default_training(X, U, U_prev=U_prev, seed=0)
+    return hist, trainer, approx
+
+
+def test_data_parallel_matches_single_device():
+    import jax
+    assert jax.device_count() == 8  # conftest virtual CPU mesh
+
+    hist_dp, trainer_dp, approx_dp = _train(True)
+    hist_sd, trainer_sd, approx_sd = _train(False)
+
+    assert trainer_dp._mesh is not None, "mesh not engaged"
+    assert trainer_sd._mesh is None
+
+    assert hist_dp["train_loss"][-1] < hist_dp["train_loss"][0]
+    # same arithmetic up to cross-shard reduction order (f64)
+    np.testing.assert_allclose(hist_dp["train_loss"][-1],
+                               hist_sd["train_loss"][-1],
+                               rtol=1e-8, atol=1e-12)
+    for a, b in zip(jax.tree.leaves(approx_dp.params),
+                    jax.tree.leaves(approx_sd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-10)
