@@ -93,10 +93,14 @@ def main():
     rti_n = int(os.environ.get("DOMPC_BENCH_RTI_ITERS", "2"))
     # light damping + matched (non-decaying) barrier for the same-state
     # cross-check; the closed-loop tests use heavier damping + decay
-    # (tests/test_rti.py) — both are exercised configurations.
+    # (tests/test_rti.py) — both are exercised configurations.  Measured
+    # on this config: prox 1e-3 -> rel err 0.017, prox 1e-5 -> 0.0003 at
+    # the same 1790/s rate (the warm start is near-exact, so Newton needs
+    # almost no Levenberg bias here).
+    rti_prox = float(os.environ.get("DOMPC_BENCH_RTI_PROX", "1e-5"))
     solve_rti = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
                                   throughput_mode=True, rti_iters=rti_n,
-                                  rti_prox=1e-3, rti_step_max=10.0,
+                                  rti_prox=rti_prox, rti_step_max=10.0,
                                   rti_mu_decay=1.0)
     M_r = jnp.full((B,), tol / 10.0, X.dtype)
     sol_r, u0s_r = solve_rti(X_w, W_w, L_w, M_r, sol.zl, sol.zu)

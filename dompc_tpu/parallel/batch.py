@@ -128,11 +128,37 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
     cold = jax.jit(jax.vmap(one_cold))
     warm_jit = jax.jit(jax.vmap(one_warm))
 
+    # Cold-start emulation through the warm program: with lam0=0,
+    # mu0=mu_init and the z_init pattern passed as zl0/zu0, init_state's
+    # warm branch reproduces the cold initialization bit-for-bit (entries
+    # > 1e-12 restart at max(z_init, mu/1e8) = z_init; the rest follow the
+    # same bounded-pattern masks).  One compiled program then serves both
+    # cold and warm calls — through the remote-compile tunnel the second
+    # large program was most of bench.py's compile_plus_first_s.  Not
+    # applicable in RTI mode, where cold calls must run the full
+    # globalized loop instead of the fixed-iteration RTI path.
+    has_lb_np = np.isfinite(np.asarray(mpc._lb_opt_x))
+    has_ub_np = np.isfinite(np.asarray(mpc._ub_opt_x))
+    z0v = ipm_settings.z_init
+    _zl_cold = np.concatenate([np.where(has_lb_np, z0v, 0.0),
+                               np.full(mpc._n_ineq, z0v)])
+    _zu_cold = np.concatenate([np.where(has_ub_np, z0v, 0.0),
+                               np.zeros(mpc._n_ineq)])
+    n_lagr_tot = mpc.n_opt_lagr + mpc._n_ineq
+
     def solve_batch(x0s, w0s, lam0s=None, mu0=None, zl0s=None, zu0s=None):
         B = x0s.shape[0]
         if lam0s is None:
-            # cold start: full globalized loop, default dual init
-            return cold(x0s, w0s)
+            if ipm_settings.rti_iters > 0:
+                # genuine cold program: globalized loop
+                return cold(x0s, w0s)
+            lam0s = jnp.zeros((B, n_lagr_tot), x0s.dtype)
+            mu0 = jnp.full((B,), ipm_settings.mu_init, x0s.dtype)
+            zl0s = jnp.broadcast_to(jnp.asarray(_zl_cold, x0s.dtype),
+                                    (B, _zl_cold.shape[0]))
+            zu0s = jnp.broadcast_to(jnp.asarray(_zu_cold, x0s.dtype),
+                                    (B, _zu_cold.shape[0]))
+            return warm_jit(x0s, w0s, lam0s, mu0, zl0s, zu0s)
         if mu0 is None:
             mu0 = jnp.full((B,), st.warm_start_mu, x0s.dtype)
         if zl0s is None:

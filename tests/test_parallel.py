@@ -51,3 +51,30 @@ def test_sharded_solver_8_devices():
     assert float(n_ok) == B
     assert u0s.shape == (B, 1)
     assert np.all(np.abs(np.asarray(u0s)) <= 0.5 + 1e-9)
+
+
+def test_cold_emulation_matches_true_cold_program():
+    """Cold-start calls route through the warm program (one compile
+    serves both — see make_batch_solver); the synthesized dual init must
+    reproduce the genuine cold program bit-for-bit.  The rti_iters>0
+    solver still owns a real cold program (the globalized loop), which
+    here doubles as the reference."""
+    mpc, model = _mpc()
+    rng = np.random.default_rng(3)
+    B = 4
+    x0s = rng.uniform(-0.5, 0.5, size=(B, 4))
+    mpc.x0 = x0s[0]
+    mpc.set_initial_guess()
+    w0 = np.tile(mpc.opt_x_num.copy(), (B, 1))
+
+    emulated = make_batch_solver(mpc, tol=1e-8, max_iter=80,
+                                 throughput_mode=True)
+    true_cold = make_batch_solver(mpc, tol=1e-8, max_iter=80,
+                                  throughput_mode=True, rti_iters=1)
+    sol_e, u_e = emulated(jnp.asarray(x0s), jnp.asarray(w0))
+    sol_c, u_c = true_cold(jnp.asarray(x0s), jnp.asarray(w0))
+    assert bool(jnp.all(sol_e.success))
+    np.testing.assert_array_equal(np.asarray(sol_e.iterations),
+                                  np.asarray(sol_c.iterations))
+    np.testing.assert_array_equal(np.asarray(sol_e.w), np.asarray(sol_c.w))
+    np.testing.assert_array_equal(np.asarray(u_e), np.asarray(u_c))
