@@ -41,6 +41,60 @@ ROOT = -1       # chain id of root-assigned entities
 PARAM = -2      # chain id of parameter/dummy columns (dropped)
 
 
+def _gather_plan(targets, srcs, garbage, t_size, k_low=4):
+    """Invert a scatter-add into a two-tier gather plan.
+
+    ``targets[i] = t`` means source position ``srcs[i]`` contributes to
+    flat slot ``t``.  TPU scatter-add serializes colliding indices, so
+    assembly runs as dense gathers instead — but padding every slot to
+    the GLOBAL max multiplicity is wasteful when a handful of slots (the
+    root block, which every instance touches) have 5-20 contributions
+    while the band slots have 1-4 (measured: K=19 padded the whole
+    123k-slot matrix and was slower than the scatter).  Two tiers:
+    ``low`` covers all slots at width ``k_low``; the few slots with more
+    contributions get their own narrow-tall matrix plus a unique-index
+    scatter of their sums.  The garbage slot (``t_size - 1``) is excluded
+    (it collects every dropped entry) and must be written as 0.
+    Apply with :func:`_gather_apply`."""
+    targets = np.asarray(targets).reshape(-1)
+    srcs = np.asarray(srcs).reshape(-1)
+    pad = int(srcs.max(initial=-1)) + 1
+    keep = targets != garbage
+    tk, sk = targets[keep], srcs[keep]
+    order = np.argsort(tk, kind="stable")
+    tk, sk = tk[order], sk[order]
+    counts = np.bincount(tk, minlength=t_size - 1)
+    K = max(int(counts.max(initial=0)), 1)
+    k_low = min(k_low, K)
+    first = np.zeros(t_size - 1, np.int64)
+    first[1:] = np.cumsum(counts)[:-1]
+    rank = np.arange(len(tk)) - first[tk]
+
+    high_slots = np.nonzero(counts > k_low)[0].astype(np.int32)
+    is_high = np.zeros(t_size - 1, bool)
+    is_high[high_slots] = True
+    high_row = np.cumsum(is_high) - 1        # slot -> row in high_mat
+
+    low_mat = np.full((t_size - 1, k_low), pad, dtype=np.int32)
+    sel = ~is_high[tk]
+    low_mat[tk[sel], rank[sel]] = sk[sel]
+    high_mat = np.full((len(high_slots), K), pad, dtype=np.int32)
+    sel = is_high[tk]
+    high_mat[high_row[tk[sel]], rank[sel]] = sk[sel]
+    return {"low": low_mat, "high_slots": high_slots,
+            "high": high_mat, "pad": pad}
+
+
+def _gather_apply(plan, V):
+    """Evaluate a _gather_plan.  ``V``: source vector WITH a trailing zero
+    at the pad position.  Returns T of length t_size - 1."""
+    T = V[jnp.asarray(plan["low"])].sum(axis=1)
+    if plan["high_slots"].size:
+        hs = V[jnp.asarray(plan["high"])].sum(axis=1)
+        T = T.at[jnp.asarray(plan["high_slots"])].add(hs)
+    return T
+
+
 def demote_by_usage(var_chain, var_stage, A_all, n, inst_chain, inst_stage):
     """Demote variables to the root wherever the proposed chain assignment
     cannot be represented in the (band, border, root) structure.
@@ -269,25 +323,49 @@ class BBDAssembler:
         self._bord_off = bord_off
         self._root_off = root_off
 
+        # gather-form assembly plan (see _gather_plan): sources are
+        # [H_i.flat | Jg_i.flat (used for both orientations) | Jh_i.flat
+        # (both orientations) | ones(init) | sig_w_delta | g_diag | h_diag
+        # | 0-pad]
+        nH = I * d * d
+        nJg = I * E * d
+        nJh = I * self.jh_idx.shape[1] * d if q else 0
+        sJg = np.arange(nJg) + nH
+        sJh = np.arange(nJh) + nH + nJg
+        off = nH + nJg + nJh
+        targets = [self.h_idx, self.jg_idx, self.jg_idx_T]
+        srcs = [np.arange(nH), sJg, sJg]
+        if q:
+            targets += [self.jh_idx, self.jh_idx_T]
+            srcs += [sJh, sJh]
+        targets += [self.init_idx]
+        srcs += [np.arange(len(self.init_idx)) + off]
+        off += len(self.init_idx)
+        targets += [self.w_diag_idx, self.g_diag_idx]
+        srcs += [np.arange(n) + off, np.arange(m) + off + n]
+        off += n + m
+        if q:
+            targets += [self.h_diag_idx]
+            srcs += [np.arange(q) + off]
+        self._gather = _gather_plan(
+            np.concatenate([np.asarray(t).reshape(-1) for t in targets]),
+            np.concatenate(srcs), garbage, self.T_size)
+        self._n_init_ones = len(self.init_idx)
+
     def assemble(self, H_i, Jg_i, Jh_i, sig_w_delta, g_diag, h_diag):
-        """Build (D, U, Lo, Bord, Root) tensors from instance tensors."""
+        """Build (D, U, Lo, Bord, Root) tensors from instance tensors by
+        gather+sum (see _gather_plan)."""
         C, S, b, R = self.C, self.S, self.b, self.R
-        T = jnp.zeros((self.T_size,), H_i.dtype)
-        T = T.at[jnp.asarray(self.h_idx).reshape(-1)].add(H_i.reshape(-1))
-        T = T.at[jnp.asarray(self.jg_idx).reshape(-1)].add(Jg_i.reshape(-1))
-        T = T.at[jnp.asarray(self.jg_idx_T).reshape(-1)].add(
-            Jg_i.reshape(-1))
-        if self.q:
-            T = T.at[jnp.asarray(self.jh_idx).reshape(-1)].add(
-                Jh_i.reshape(-1))
-            T = T.at[jnp.asarray(self.jh_idx_T).reshape(-1)].add(
-                Jh_i.reshape(-1))
-        if len(self.init_idx):
-            T = T.at[jnp.asarray(self.init_idx)].add(1.0)
-        T = T.at[jnp.asarray(self.w_diag_idx)].add(sig_w_delta)
-        T = T.at[jnp.asarray(self.g_diag_idx)].add(g_diag)
-        if self.q:
-            T = T.at[jnp.asarray(self.h_diag_idx)].add(h_diag)
+        dtype = H_i.dtype
+        V = jnp.concatenate([
+            H_i.reshape(-1), Jg_i.reshape(-1), Jh_i.reshape(-1),
+            jnp.ones((self._n_init_ones,), dtype),
+            jnp.asarray(sig_w_delta, dtype),
+            jnp.asarray(g_diag, dtype)]
+            + ([jnp.asarray(h_diag, dtype)] if self.q else [])
+            + [jnp.zeros((1,), dtype)])
+        T = _gather_apply(self._gather, V)
+        T = jnp.concatenate([T, jnp.zeros((1,), dtype)])
 
         bs = self._band_sz
         D = T[:bs].reshape(C, S, b, b)
@@ -514,20 +592,41 @@ class CondensedAssembler:
         self.w_mask_chain = mask[:C * S * b].reshape(C, S, b)
         self.w_mask_root = mask[C * S * b:C * S * b + R]
 
+        # gather-form assembly plan (see _gather_plan): sources laid out
+        # as [C_i.flat | sig_w_delta | ones(init) | g_diag_init | 0-pad]
+        targets = np.concatenate([
+            self.ent_pair_idx.reshape(-1), self.w_diag_idx,
+            self.init_idx, self.g_diag_init_idx])
+        self._n_init_ones = len(self.init_idx)
+        self._gather = _gather_plan(
+            targets, np.arange(targets.shape[0]), garbage, self.T_size)
+
     def assemble(self, C_i, sig_w_delta, g_diag_init):
-        """Scatter condensed per-instance blocks into (D, U, Lo, Bord,
-        Root).  ``C_i``: (I, n_ent, n_ent) symmetric condensed blocks;
-        ``sig_w_delta``: (n,) diagonal for live vars (garbage-dropped on
-        skipped/interior); ``g_diag_init``: (n_x0,) diagonal for the
-        initial-condition identity rows (usually -delta_cons)."""
+        """Assemble condensed per-instance blocks into (D, U, Lo, Bord,
+        Root).  Default backend is two-tier gather+sum (see _gather_plan);
+        ``DOMPC_TPU_ASSEMBLE=scatter`` selects the scatter-add form for
+        A/B timing.  ``C_i``: (I, n_ent, n_ent) symmetric condensed
+        blocks; ``sig_w_delta``: (n,) diagonal for live vars
+        (garbage-dropped on skipped/interior); ``g_diag_init``: (n_x0,)
+        diagonal for the initial-condition identity rows."""
+        import os as _os
         C, S, b, R = self.C, self.S, self.b, self.R
-        T = jnp.zeros((self.T_size,), C_i.dtype)
-        T = T.at[jnp.asarray(self.ent_pair_idx).reshape(-1)].add(
-            C_i.reshape(-1))
-        T = T.at[jnp.asarray(self.w_diag_idx)].add(sig_w_delta)
-        T = T.at[jnp.asarray(self.init_idx)].add(1.0)
-        # init rows' own diagonal regularization
-        T = T.at[jnp.asarray(self.g_diag_init_idx)].add(g_diag_init)
+        dtype = C_i.dtype
+        if _os.environ.get("DOMPC_TPU_ASSEMBLE") == "scatter":
+            T = jnp.zeros((self.T_size,), dtype)
+            T = T.at[jnp.asarray(self.ent_pair_idx).reshape(-1)].add(
+                C_i.reshape(-1))
+            T = T.at[jnp.asarray(self.w_diag_idx)].add(sig_w_delta)
+            T = T.at[jnp.asarray(self.init_idx)].add(1.0)
+            T = T.at[jnp.asarray(self.g_diag_init_idx)].add(g_diag_init)
+        else:
+            V = jnp.concatenate([
+                C_i.reshape(-1), jnp.asarray(sig_w_delta, dtype),
+                jnp.ones((self._n_init_ones,), dtype),
+                jnp.asarray(g_diag_init, dtype).reshape(-1),
+                jnp.zeros((1,), dtype)])
+            T = _gather_apply(self._gather, V)
+            T = jnp.concatenate([T, jnp.zeros((1,), dtype)])
         bs = self._band_sz
         D = T[:bs].reshape(C, S, b, b)
         U = T[bs:2 * bs].reshape(C, S, b, b)
