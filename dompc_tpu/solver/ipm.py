@@ -750,25 +750,32 @@ def make_ipm_solver(
                               jnp.full((q,), z0v, dtype)])
         zu = jnp.concatenate([jnp.where(has_ub, z0v, 0.0),
                               jnp.zeros((q,), dtype)])
+        # Restart value for warm entries the previous solve zeroed
+        # (active-set polish zeroes inactive duals).  RTI mode restarts
+        # them at the central-path value min(z_init, mu/dist) — z_init=1
+        # sits far off the central path and made the first damped RTI
+        # Newton steps blow up (measured).  The globalized loop keeps the
+        # plain z_init restart: its line search handles the off-path
+        # start, and the central restart was measured to stall one
+        # dynamic-bicycle closed-loop step at kkt_err ~2e-4 (a weakly
+        # active bound restarted with a tiny/huge dual mid-horizon).
+        use_central = st.rti_iters > 0
         if zl0 is not None:
-            # warm-started bound duals, kept safely positive; entries the
-            # previous solve zeroed (active-set polish zeroes inactive
-            # duals) restart at the central-path value mu/dist — NOT at
-            # z_init=1, which sits far off the central path and makes the
-            # first warm Newton steps blow up (measured on RTI restarts)
             dl_w0, dl_s0 = dist_l(w, s)
-            central_l = mu / jnp.maximum(
-                jnp.concatenate([dl_w0, dl_s0]), 1e-8)
+            central_l = jnp.minimum(z0v, mu / jnp.maximum(
+                jnp.concatenate([dl_w0, dl_s0]), 1e-8))
             mask_l0 = jnp.concatenate([has_lb, jnp.ones((q,), bool)])
+            restart_l = central_l if use_central else zl
             zl = jnp.where(zl0 > 1e-12, jnp.maximum(zl0, mu / 1e8),
-                           jnp.where(mask_l0, central_l, 0.0))
+                           jnp.where(mask_l0, restart_l, 0.0))
         if zu0 is not None:
             du_w0 = dist_u(w)
-            central_u = mu / jnp.maximum(
-                jnp.concatenate([du_w0, jnp.ones((q,), w.dtype)]), 1e-8)
+            central_u = jnp.minimum(z0v, mu / jnp.maximum(
+                jnp.concatenate([du_w0, jnp.ones((q,), w.dtype)]), 1e-8))
             mask_u0 = jnp.concatenate([has_ub, jnp.zeros((q,), bool)])
+            restart_u = central_u if use_central else zu
             zu = jnp.where(zu0 > 1e-12, jnp.maximum(zu0, mu / 1e8),
-                           jnp.where(mask_u0, central_u, 0.0))
+                           jnp.where(mask_u0, restart_u, 0.0))
         return IPMState(w=w, s=s, lam=lam, zl=zl, zu=zu, mu=mu,
                         it=jnp.asarray(0), converged=jnp.asarray(False),
                         kkt_err=jnp.asarray(jnp.inf, dtype),
