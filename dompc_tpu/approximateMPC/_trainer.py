@@ -77,11 +77,25 @@ class Trainer:
             params = jax.device_put(params, replicated)
             opt_state = jax.device_put(opt_state, replicated)
 
+        warned_unsharded = [False]
+
         def _put(xb, yb):
-            if batch_sharding is not None and xb.shape[0] % \
-                    self._mesh.devices.size == 0:
-                xb = jax.device_put(xb, batch_sharding)
-                yb = jax.device_put(yb, batch_sharding)
+            if batch_sharding is not None:
+                if xb.shape[0] % self._mesh.devices.size == 0:
+                    xb = jax.device_put(xb, batch_sharding)
+                    yb = jax.device_put(yb, batch_sharding)
+                elif not warned_unsharded[0]:
+                    # data_parallel requested but this batch cannot shard
+                    # evenly — it runs unsharded; surface it once instead
+                    # of silently training single-device
+                    warned_unsharded[0] = True
+                    import warnings as _warnings
+                    _warnings.warn(
+                        f"data_parallel=True but batch size {xb.shape[0]}"
+                        f" is not divisible by the device count "
+                        f"{self._mesh.devices.size}; this (and any "
+                        "further such) batch runs unsharded. Choose "
+                        "batch_size as a multiple of the device count.")
             return xb, yb
 
         val_loss_fn = jax.jit(loss_fn)

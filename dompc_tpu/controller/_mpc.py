@@ -641,7 +641,10 @@ class MPC(Optimizer, IteratedVariables):
         self._struct_parts = dict(
             gather=gather, d_g=d_g, d_h=d_h, d2_lag=d2_lag, R_g_j=R_g_j,
             R_h_j=R_h_j, omega=omega, term_mask_f=term_mask_f, nlr=nlr,
-            I=I, d=d, R_g=R_g, R_h=R_h)
+            I=I, d=d, R_g=R_g, R_h=R_h,
+            # raw instance-local callables, for backends that re-derive
+            # permuted AD oracles (condensed KKT static-slice extraction)
+            lag_i=lag_i, g_i=g_i, h_i=h_i)
 
         # sizes
         self.n_opt_lagr = m_eq
@@ -866,7 +869,7 @@ class MPC(Optimizer, IteratedVariables):
         mask_c = jnp.asarray(assembler.w_mask_chain)
         mask_r = jnp.asarray(assembler.w_mask_root)
         # fused Pallas sweep on TPU (float32); lax.scan QR elsewhere
-        use_pallas = jax.default_backend() == "tpu"
+        accel = jax.default_backend() == "tpu"
 
         def prepare(w, pvec, lam_g, lam_h, sig_w, inv_sig_s):
             """Derivatives + scatter assembly: once per Newton step; the
@@ -899,7 +902,7 @@ class MPC(Optimizer, IteratedVariables):
             # refinement pass to reach IPOPT-matching accuracy
             n_ref = 0 if dtype == jnp.float32 else n_refine
             x_c, x_r = bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r,
-                                 n_refine=n_ref, use_pallas=use_pallas)
+                                 n_refine=n_ref, accel=accel)
             return assembler.unpack_sol(x_c, x_r)
 
         return prepare, solve
@@ -952,7 +955,18 @@ class MPC(Optimizer, IteratedVariables):
         then the small boundary band — block size O(n_x + n_u) instead of
         O(n_coll*n_x) — is swept by the BBD/Pallas path.  ~20x fewer
         sequential-sweep flops than the uncondensed band on the CSTR
-        flagship (see solver/bbd.py:CondensedAssembler)."""
+        flagship (see solver/bbd.py:CondensedAssembler).
+
+        The per-instance AD oracles are *permuted* (interior entries
+        first) so every condensed block (H_ii/H_ib/H_bb, J sub-blocks) is
+        a contiguous static slice of the AD output that XLA fuses into the
+        producer — fancy-index gathers over the full (B, I, d, d)
+        Lagrangian Hessian were measured at ~17 ms/iter of pure HBM
+        traffic at B=128 (BENCH.md round-2 profile).  The M blocks are
+        built once per Newton step in ``prepare``; only the Levenberg
+        ``delta`` diagonal (the sole per-solve dynamic scalar) is applied
+        in ``solve``, so the retry ladder / SOC / polish reuse the
+        assembled blocks."""
         from ..solver.bbd import CondensedAssembler, bbd_solve
         plan = self._condensation_plan()
         assert plan is not None, "condensation not applicable here"
@@ -981,64 +995,86 @@ class MPC(Optimizer, IteratedVariables):
         self._kkt_structure_cond = assembler
 
         gather = sp["gather"]
-        d_g, d_h, d2_lag = sp["d_g"], sp["d_h"], sp["d2_lag"]
+        lag_i, g_i, h_i = sp["lag_i"], sp["g_i"], sp["h_i"]
         R_g_j, R_h_j = sp["R_g_j"], sp["R_h_j"]
         omega, term_mask_f = sp["omega"], sp["term_mask_f"]
         n_iv, n_bv = len(int_cols), len(bnd_cols)
         n_ir, n_br = len(int_rows), len(bnd_rows)
         n_ie = n_iv + n_ir
         n_be = n_bv + n_br + nlr
-        ic_j = jnp.asarray(int_cols)
-        bc_j = jnp.asarray(bnd_cols)
         A_int_j = jnp.asarray(A_int)
         R_g_int_j = jnp.asarray(R_g_int)
         R_h_flat_j = jnp.asarray(R_h.reshape(-1)) if nlr else None
-        use_pallas = jax.default_backend() == "tpu"
+        accel = jax.default_backend() == "tpu"
+
+        # permuted AD oracles: local variable order [int_cols, bnd_cols],
+        # equality-row order [int_rows, bnd_rows] — block extraction below
+        # is then pure static slicing (no gathers over (I, d, d) tensors)
+        col_perm = np.concatenate([int_cols, bnd_cols])
+        inv_col = np.argsort(col_perm)
+        row_perm = np.concatenate([int_rows, bnd_rows])
+        col_perm_j = jnp.asarray(col_perm)
+        inv_col_j = jnp.asarray(inv_col)
+        row_perm_j = jnp.asarray(row_perm)
+
+        def lag_p(vp, tvp, tvpN, p, om, tmask, lam_gi, lam_hi):
+            return lag_i(vp[inv_col_j], tvp, tvpN, p, om, tmask,
+                         lam_gi, lam_hi)
+
+        d2_lag_p = jax.hessian(lag_p)
+
+        def g_p(vp, tvp, p):
+            return g_i(vp[inv_col_j], tvp, p)[row_perm_j]
+
+        d_g_p = jax.jacfwd(g_p)
+
+        def h_p(vp, tvp, p):
+            return h_i(vp[inv_col_j], tvp, p)
+
+        d_h_p = jax.jacfwd(h_p) if nlr else None
+        eye_ir_np = np.eye(n_ir)
+        # delta enters only the interior-variable diagonal of M_ii; the
+        # boundary-variable delta rides the assembler's sig_w + delta
+        iv_diag = jnp.asarray(np.diag(np.concatenate(
+            [np.ones(n_iv), np.zeros(n_ir)])))
 
         def prepare(w, pvec, lam_g, lam_h, sig_w, inv_sig_s):
             V, tvp, tvpN, p = gather(w, pvec)
+            Vp = V[:, col_perm_j]
+            dtype = w.dtype
             Lg = lam_g[R_g_j]
-            Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), w.dtype)
-            Hi = jax.vmap(d2_lag, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
-                V, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)
-            Jg_i = jax.vmap(d_g)(V, tvp, p)
-            Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
-                    else jnp.zeros((I, 0, d), w.dtype))
-            return (Hi, Jg_i, Jh_i, sig_w, inv_sig_s)
+            Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), dtype)
+            Hp = jax.vmap(d2_lag_p, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
+                Vp, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)
+            Jp = jax.vmap(d_g_p)(Vp, tvp, p)        # (I, E, d) permuted
+            Jh_p = (jax.vmap(d_h_p)(Vp, tvp, p) if nlr
+                    else jnp.zeros((I, 0, d), dtype))
+            H_ii = Hp[:, :n_iv, :n_iv]
+            H_ib = Hp[:, :n_iv, n_iv:]
+            H_bb = Hp[:, n_iv:, n_iv:]
+            J_ii = Jp[:, :n_ir, :n_iv]
+            J_ib = Jp[:, :n_ir, n_iv:]
+            Jb_ii = Jp[:, n_ir:, :n_iv]             # bnd rows x int cols
+            Jb_ib = Jp[:, n_ir:, n_iv:]
+            sig_int = sig_w[A_int_j]                # (I, n_iv)
 
-        def solve(ctx, r_dw, r_g, r_h_mod, delta):
-            Hi, Jg_i, Jh_i, sig_w, inv_sig_s = ctx
-            dtype = r_dw.dtype
-            b_w, b_g = -r_dw, -r_g
-            b_h = -r_h_mod if q else jnp.zeros((0,), dtype)
-
-            H_ii = Hi[:, ic_j[:, None], ic_j[None, :]]
-            H_ib = Hi[:, ic_j[:, None], bc_j[None, :]]
-            H_bb = Hi[:, bc_j[:, None], bc_j[None, :]]
-            Jg_int = Jg_i[:, int_rows]          # (I, n_ir, d)
-            Jg_bnd = Jg_i[:, bnd_rows]          # (I, n_br, d)
-            J_ii = Jg_int[:, :, ic_j]
-            J_ib = Jg_int[:, :, bc_j]
-            Jb_ii = Jg_bnd[:, :, ic_j]          # bnd rows x int cols
-            Jb_ib = Jg_bnd[:, :, bc_j]
-            sig_int = sig_w[A_int_j] + delta    # (I, n_iv)
-            eye_ir = jnp.eye(n_ir, dtype=dtype)
-
-            M_ii = jnp.concatenate([
+            M_ii0 = jnp.concatenate([
                 jnp.concatenate([
                     H_ii + jax.vmap(jnp.diag)(sig_int),
                     jnp.swapaxes(J_ii, 1, 2)], axis=2),
                 jnp.concatenate([
                     J_ii, -delta_cons * jnp.broadcast_to(
-                        eye_ir, (I, n_ir, n_ir))], axis=2)], axis=1)
+                        jnp.asarray(eye_ir_np, dtype),
+                        (I, n_ir, n_ir))], axis=2)], axis=1)
 
             if nlr:
-                Jh_int = Jh_i[:, :, ic_j]
-                Jh_bnd = Jh_i[:, :, bc_j]
+                Jh_int = Jh_p[:, :, :n_iv]
+                Jh_bnd = Jh_p[:, :, n_iv:]
                 M_ib_top = jnp.concatenate(
                     [H_ib, jnp.swapaxes(Jb_ii, 1, 2),
                      jnp.swapaxes(Jh_int, 1, 2)], axis=2)
             else:
+                Jh_bnd = Jh_p[:, :, n_iv:]
                 M_ib_top = jnp.concatenate(
                     [H_ib, jnp.swapaxes(Jb_ii, 1, 2)], axis=2)
             M_ib_bot = jnp.concatenate(
@@ -1065,11 +1101,19 @@ class MPC(Optimizer, IteratedVariables):
                 (-(inv_sig_s[R_h_flat_j].reshape(I, nlr) + delta_cons)
                  if nlr else jnp.zeros((I, 0), dtype))], axis=1)
             M_bb = M_bb + jax.vmap(jnp.diag)(diag_rows)
+            return (M_ii0, M_ib, M_bb, sig_w)
 
+        def solve(ctx, r_dw, r_g, r_h_mod, delta):
+            M_ii0, M_ib, M_bb, sig_w = ctx
+            dtype = r_dw.dtype
+            b_w, b_g = -r_dw, -r_g
+            b_h = -r_h_mod if q else jnp.zeros((0,), dtype)
+
+            M_ii = M_ii0 + delta * iv_diag.astype(dtype)
             b_int = jnp.concatenate(
                 [b_w[A_int_j], b_g[R_g_int_j]], axis=1)   # (I, n_ie)
             rhs_int = jnp.concatenate([M_ib, b_int[..., None]], axis=2)
-            if use_pallas:   # TPU: batch-in-lanes QR (batched LU profiled
+            if accel:        # TPU: batch-in-lanes QR (batched LU profiled
                 from ..solver.batchqr import qr_solve   # 162ms at B=128)
                 Y = qr_solve(M_ii, rhs_int)
             else:
@@ -1083,7 +1127,7 @@ class MPC(Optimizer, IteratedVariables):
             rhs_c, rhs_r = assembler.add_corrections(rhs_c, rhs_r, corr)
             n_ref = 0 if dtype == jnp.float32 else n_refine
             x_c, x_r = bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r,
-                                 n_refine=n_ref, use_pallas=use_pallas)
+                                 n_refine=n_ref, accel=accel)
             dw, dg, dh, x_ent = assembler.unpack_sol(x_c, x_r)
             x_int = Y[..., n_be] - jnp.einsum(
                 "Iib,Ib->Ii", Y[..., :n_be], x_ent)
@@ -1127,6 +1171,8 @@ class MPC(Optimizer, IteratedVariables):
             structured_solve=structured_solve)
         self._solve_raw = solve
         self._solve_jit = jax.jit(solve)
+        from ..tools._optxview import make_mpc_resolver
+        self._optx_resolver = make_mpc_resolver(self)
         self.opt_x_num = np.zeros(self.n_opt_x)
         self.opt_p_num = np.zeros(self.n_opt_p)
         self.lam_g_num = np.zeros(self.n_opt_lagr + self._n_ineq)

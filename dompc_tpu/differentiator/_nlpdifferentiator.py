@@ -54,12 +54,21 @@ class NLPDifferentiator:
         lam_h = lam[m:m + q]
         prim_lb = np.isfinite(lb) & (w - lb < tol)
         prim_ub = np.isfinite(ub) & (ub - w < tol)
-        act_lb = prim_lb | (zl[:len(w)] > 1.0)
-        act_ub = prim_ub | (zu[:len(w)] > 1.0)
+        # dual-magnitude union threshold, relative to the dual scale of
+        # THIS solution (a fixed absolute cutoff misclassifies badly
+        # scaled problems; reference uses tolerance-relative logic,
+        # _nlpdifferentiator.py:347-394)
+        dual_scale = max(1.0, float(np.max(np.abs(zl[:len(w)]),
+                                           initial=0.0)),
+                         float(np.max(np.abs(zu[:len(w)]), initial=0.0)),
+                         float(np.max(np.abs(lam_h), initial=0.0)))
+        dual_thr = np.sqrt(tol) * dual_scale
+        act_lb = prim_lb | (zl[:len(w)] > dual_thr)
+        act_ub = prim_ub | (zu[:len(w)] > dual_thr)
         hv = np.asarray(opt._h_fn(jnp.asarray(w),
                                   jnp.asarray(opt.opt_p_num)))
         prim_h = hv > -tol
-        act_h = prim_h | (lam_h > 1.0)
+        act_h = prim_h | (lam_h > dual_thr)
         # strict complementarity: every active constraint needs a
         # clearly-positive multiplier
         weak = (np.any(prim_lb & (zl[:len(w)] <= tol))

@@ -59,6 +59,13 @@ class _YTemplate:
 class MHE(Optimizer, IteratedVariables):
     """Moving horizon estimator (reference: estimator/_mhe.py:36)."""
 
+    # power-index extension: bounds/scaling on estimated parameters
+    # (reference: optimizer.py:305,334,404,428)
+    _BOUND_MAP = {**Optimizer._BOUND_MAP,
+                  ("lower", "_p_est"): "_p_est_lb",
+                  ("upper", "_p_est"): "_p_est_ub"}
+    _SCALING_MAP = {**Optimizer._SCALING_MAP, "_p_est": "_p_est_scaling"}
+
     def __init__(self, model, p_est_list=()):
         assert model.flags["setup"], "Model must be setup before MHE."
         self._init_iterated_variables(model)
@@ -81,6 +88,11 @@ class MHE(Optimizer, IteratedVariables):
         self.n_p_set = self._p_set_spec.size
         self._p_est0 = NumStruct(self._p_est_spec)
         self._p_est_scaling = NumStruct(self._p_est_spec, 1.0)
+        # estimated-parameter box bounds (reference: optimizer.py:305,334
+        # accepts '_p_est' in the bounds power index; storage at
+        # estimator/_mhe.py:201-202)
+        self._p_est_lb = NumStruct(self._p_est_spec, -np.inf)
+        self._p_est_ub = NumStruct(self._p_est_spec, np.inf)
         self._stage_cost = None
         self._arrival_cost = None
         self.y_fun = None
@@ -221,6 +233,7 @@ class MHE(Optimizer, IteratedVariables):
         stage_g, n_coll = make_stage_residual(
             model, st, self._x_scaling.data, self._z_scaling.data,
             self._u_scaling.data)
+        self.n_total_coll_points = n_coll
         n_coll_z = max(n_coll, 1) if n_z else 0
 
         # ----- layout: single chain + per-stage w/v + global p_est -----
@@ -276,7 +289,10 @@ class MHE(Optimizer, IteratedVariables):
                 lb[L.sl(key)] = self._eps_lb
                 ub[L.sl(key)] = self._eps_ub
             elif kind == "p_est":
-                scal[L.sl(key)] = self._p_est_scaling.data
+                pes_ = self._p_est_scaling.data
+                scal[L.sl(key)] = pes_
+                lb[L.sl(key)] = self._p_est_lb.data / pes_
+                ub[L.sl(key)] = self._p_est_ub.data / pes_
         self.opt_x_scaling = scal
         self._lb_opt_x = lb
         self._ub_opt_x = ub
@@ -711,7 +727,7 @@ class MHE(Optimizer, IteratedVariables):
         diag_r = jnp.arange(assembler.R)
         mask_c = jnp.asarray(assembler.w_mask_chain)
         mask_r = jnp.asarray(assembler.w_mask_root)
-        use_pallas = jax.default_backend() == "tpu"
+        accel = jax.default_backend() == "tpu"
 
         def prepare(w_vec, pvec, lam_g, lam_h, sig_w, inv_sig_s):
             V, TVP, Y, xp_, pep_, ps_ = parts(w_vec, pvec)
@@ -742,7 +758,7 @@ class MHE(Optimizer, IteratedVariables):
             rhs_c, rhs_r = assembler.pack_rhs(-r_dw, -r_g, -r_h_mod)
             n_ref = 0 if dtype == jnp.float32 else n_refine
             x_c, x_r = bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r,
-                                 n_refine=n_ref, use_pallas=use_pallas)
+                                 n_refine=n_ref, accel=accel)
             return assembler.unpack_sol(x_c, x_r)
 
         return prepare, solve
@@ -767,6 +783,8 @@ class MHE(Optimizer, IteratedVariables):
             jac_h_fn=self._jac_h_fn if self._n_ineq else None,
             structured_solve=structured_solve)
         self._solve_jit = jax.jit(solve)
+        from ..tools._optxview import make_mhe_resolver
+        self._optx_resolver = make_mhe_resolver(self)
         self.opt_x_num = np.zeros(self.n_opt_x)
         self.opt_p_num = np.zeros(self.n_opt_p)
         self.lam_g_num = np.zeros(self.n_opt_lagr + self._n_ineq)

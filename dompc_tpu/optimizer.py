@@ -220,6 +220,35 @@ class Optimizer:
         self.p_fun = None
         self.solver_stats: dict = {}
 
+    # -------------------------------------------------- solution struct view --
+    @property
+    def opt_x_num(self):
+        """Flat scaled solution vector, with the reference's struct power
+        indexing grafted on: ``mpc.opt_x_num['_x', k, s, -1]``,
+        ``mhe.opt_x_num['_p_est', 'Theta_1']`` … (reference:
+        do_mpc/controller/_mpc.py:1126-1134, queried via index maps in
+        do_mpc/data.py:81-156).  Plain integer/slice indexing behaves like
+        a normal numpy array.  See tools/_optxview.py for semantics."""
+        return self._opt_x_num_arr
+
+    @opt_x_num.setter
+    def opt_x_num(self, arr):
+        from .tools._optxview import wrap_opt_x
+        self._opt_x_num_arr = wrap_opt_x(
+            arr, getattr(self, "_optx_resolver", None))
+
+    @property
+    def opt_x_num_unscaled(self):
+        """Physical-units twin of :attr:`opt_x_num`, same power indexing
+        (reference: do_mpc/controller/_mpc.py:1157)."""
+        return self._opt_x_num_unscaled_arr
+
+    @opt_x_num_unscaled.setter
+    def opt_x_num_unscaled(self, arr):
+        from .tools._optxview import wrap_opt_x
+        self._opt_x_num_unscaled_arr = wrap_opt_x(
+            arr, getattr(self, "_optx_resolver", None))
+
     # ------------------------------------------------------------- bounds --
     _BOUND_MAP = {
         ("lower", "_x"): "_x_lb", ("upper", "_x"): "_x_ub",
@@ -260,18 +289,19 @@ class Optimizer:
                 tgt.master = value
         return FieldAccessor(get, set_)
 
+    _SCALING_MAP = {"_x": "_x_scaling", "_u": "_u_scaling",
+                    "_z": "_z_scaling", "_p": "_p_scaling"}
+
     @property
     def scaling(self):
-        """``mpc.scaling['_x','T_R'] = 100`` (reference: optimizer.py:356)."""
-        MAP = {"_x": "_x_scaling", "_u": "_u_scaling", "_z": "_z_scaling",
-               "_p": "_p_scaling"}
-
+        """``mpc.scaling['_x','T_R'] = 100`` (reference: optimizer.py:356).
+        MHE additionally accepts ``'_p_est'`` (reference: optimizer.py:404)."""
         def get(key):
-            tgt = getattr(self, MAP[key[0]])
+            tgt = getattr(self, self._SCALING_MAP[key[0]])
             return tgt[key[1:]] if len(key) > 1 else tgt
 
         def set_(key, value):
-            tgt = getattr(self, MAP[key[0]])
+            tgt = getattr(self, self._SCALING_MAP[key[0]])
             if len(key) > 1:
                 tgt[key[1:]] = value
             else:

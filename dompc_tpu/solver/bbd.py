@@ -605,7 +605,10 @@ class CondensedAssembler:
         """Assemble condensed per-instance blocks into (D, U, Lo, Bord,
         Root).  Default backend is two-tier gather+sum (see _gather_plan);
         ``DOMPC_TPU_ASSEMBLE=scatter`` selects the scatter-add form for
-        A/B timing.  ``C_i``: (I, n_ent, n_ent) symmetric condensed
+        A/B timing.  NOTE: the env var is read at TRACE time — set it
+        before the first jitted solve; flipping it after compilation has
+        no effect on already-compiled programs.
+        ``C_i``: (I, n_ent, n_ent) symmetric condensed
         blocks; ``sig_w_delta``: (n,) diagonal for live vars
         (garbage-dropped on skipped/interior); ``g_diag_init``: (n_x0,)
         diagonal for the initial-condition identity rows."""
@@ -749,16 +752,21 @@ def bbd_matvec(D, U, Lo, Bord, Root, x_c, x_r):
 
 
 def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
-              use_pallas=False):
+              accel=False):
     """Solve the bordered-block-diagonal system.
 
     One batched multi-RHS QR sweep per chain computes A_c^{-1}[B_c, r_c];
     the root is then eliminated by a small dense Schur-complement solve.
     Optional iterative refinement re-runs the sweep on the residual
     (useful for float64 golden-accuracy runs; float32 TPU runs rely on the
-    IPM's inexact-Newton acceptance instead).  ``use_pallas`` runs the
-    sweep as one fused TPU kernel (solver/pallas_band.py) instead of a
-    lax.scan of XLA QR panels — float32 only.
+    IPM's inexact-Newton acceptance instead).
+
+    ``accel=True`` selects the accelerator sweep backend, by default the
+    batch-in-lanes XLA formulation (solver/batchqr.py) — profiled fastest
+    at the condensed block size b~13 (8.8 ms vs the fused Pallas kernel's
+    69 ms at B=128, BENCH.md).  The experimental Pallas VMEM kernel
+    (solver/pallas_band.py, competitive at larger b) is reachable via
+    ``DOMPC_TPU_BAND_BACKEND=pallas`` (read at trace time, f32 only).
     """
     C, S, b, R = Bord.shape
     # accelerator backends: 'lanes' = batch-in-lanes XLA sweep (default —
@@ -767,7 +775,7 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
     # larger b), 'scan' = per-chain XLA QR panels (CPU/f64 reference).
     import os as _os
     choice = _os.environ.get("DOMPC_TPU_BAND_BACKEND",
-                             "lanes" if use_pallas else "scan")
+                             "lanes" if accel else "scan")
     pallas_ok = choice == "pallas" and D.dtype == jnp.float32
 
     def one_solve(rc, rr):

@@ -96,10 +96,23 @@ def ipm_settings_from(st, **overrides) -> "IPMSettings":
         "ipopt.mu_init": ("mu_init", float),
         "ipopt.max_soc": ("use_soc", lambda v: bool(int(v))),
     }
+    # keys whose semantics are intrinsic here (no-op by design):
+    # output verbosity, timing prints, linear-solver choice (the structured
+    # BBD/condensed factorization replaces MUMPS/MA27), warm-start behavior
+    # (always honored when a warm start is passed)
+    silent_ok = {"ipopt.print_level", "ipopt.sb", "print_time",
+                 "ipopt.linear_solver", "ipopt.warm_start_init_point",
+                 "expand", "ipopt.output_file"}
     for key, val in getattr(st, "nlpsol_opts", {}).items():
         if key in ipopt_map:
             name, conv = ipopt_map[key]
             kw[name] = conv(val)
+        elif key not in silent_ok:
+            import warnings as _warnings
+            _warnings.warn(
+                f"nlpsol_opts key {key!r} has no equivalent in the "
+                "TPU-native IPM solver and is ignored "
+                f"(mapped keys: {sorted(ipopt_map)}).", stacklevel=2)
     kw.update(overrides)
     return IPMSettings(**kw)
 
@@ -147,6 +160,7 @@ def make_ipm_solver(
     jac_h_fn: Optional[Callable] = None,
     structured_solve: Optional[Callable] = None,
     dynamic_bounds: bool = False,
+    _bound_masks=None,
 ):
     """Build a single-instance solver ``solve(w0, p, lam0=None) -> IPMSolution``.
 
@@ -168,8 +182,13 @@ def make_ipm_solver(
     n = lb.shape[0]
     m, q = n_eq, n_ineq
 
-    has_lb = jnp.isfinite(lb)
-    has_ub = jnp.isfinite(ub)
+    if _bound_masks is not None:
+        # per-solve bound VALUES may be traced; the sparsity pattern
+        # (which entries are bounded at all) is pinned by the caller
+        has_lb, has_ub = _bound_masks
+    else:
+        has_lb = jnp.isfinite(lb)
+        has_ub = jnp.isfinite(ub)
     lb_static, ub_static = lb, ub
 
     grad_f = grad_f_fn if grad_f_fn is not None else jax.grad(f)
@@ -856,22 +875,29 @@ def make_ipm_solver(
 
     def solve(w0, p, lam0=None, mu0=None, zl0=None, zu0=None,
               lb_dyn=None, ub_dyn=None):
-        nonlocal lb, ub
         if lb_dyn is not None or ub_dyn is not None:
             if not dynamic_bounds:
                 raise ValueError("pass dynamic_bounds=True to "
                                  "make_ipm_solver to use lb_dyn/ub_dyn")
-            # rebind the closure cells for the duration of this trace; all
-            # inner functions execute within this call, so they read the
-            # traced values (the finiteness masks stay static)
-            if lb_dyn is not None:
-                lb = jnp.where(has_lb, jnp.asarray(lb_dyn), lb_static)
-            if ub_dyn is not None:
-                ub = jnp.where(has_ub, jnp.asarray(ub_dyn), ub_static)
-        try:
-            return _solve_impl(w0, p, lam0, mu0, zl0, zu0)
-        finally:
-            lb, ub = lb_static, ub_static
+            # functional rebinding: build a fresh solver whose closures
+            # capture the per-solve (possibly traced) bound values, while
+            # the finiteness masks stay the static ones — no shared
+            # mutable state, so interleaved traces of the same solver
+            # cannot observe each other's bounds.  make_ipm_solver is
+            # pure Python function definitions, so this costs nothing at
+            # trace time.
+            lb_eff = (jnp.where(has_lb, jnp.asarray(lb_dyn), lb_static)
+                      if lb_dyn is not None else lb_static)
+            ub_eff = (jnp.where(has_ub, jnp.asarray(ub_dyn), ub_static)
+                      if ub_dyn is not None else ub_static)
+            inner = make_ipm_solver(
+                f, g, h, lb_eff, ub_eff, n_eq, n_ineq, settings=settings,
+                kkt_solve=kkt_solve, hess_fn=hess_fn,
+                grad_f_fn=grad_f_fn, jac_g_fn=jac_g_fn,
+                jac_h_fn=jac_h_fn, structured_solve=structured_solve,
+                dynamic_bounds=False, _bound_masks=(has_lb, has_ub))
+            return inner(w0, p, lam0=lam0, mu0=mu0, zl0=zl0, zu0=zu0)
+        return _solve_impl(w0, p, lam0, mu0, zl0, zu0)
 
     def _solve_impl(w0, p, lam0=None, mu0=None, zl0=None, zu0=None):
         state = init_state(jnp.asarray(w0), p, lam0=lam0, mu0=mu0,

@@ -58,14 +58,18 @@ def test_cstr_robust_closed_loop():
     sim.x0 = x0
     est.x0 = x0
     mpc.set_initial_guess()
-    n_steps = 2
+    n_steps = 5   # full reference length (testing/test_CSTR.py:113-145)
     for _ in range(n_steps):
         u0 = mpc.make_step(x0)
         y = sim.make_step(u0)
         x0 = est.make_step(y)
 
-    err_x = np.abs(mpc.data._x - ref["mpc"]._x[:n_steps]).max()
-    assert err_x < 2e-2, f"x err {err_x:.2e}"
+    # states: relative per-channel (T_R/T_K are O(130), concentrations
+    # O(1)); the Q_dot flat band feeds back into T_K over the loop
+    x_scale = np.maximum(np.abs(ref["mpc"]._x[:n_steps]), 1.0)
+    err_x = (np.abs(mpc.data._x - ref["mpc"]._x[:n_steps])
+             / x_scale).max()
+    assert err_x < 1e-3, f"x rel err {err_x:.2e}"
     u_scaling = np.array([100.0, 2000.0])
     err_u = (np.abs(mpc.data._u - ref["mpc"]._u[:n_steps]) / u_scaling)
     # F (column 0) is strongly determined; Q_dot sits in the flat band
