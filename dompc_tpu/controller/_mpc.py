@@ -955,18 +955,7 @@ class MPC(Optimizer, IteratedVariables):
         then the small boundary band — block size O(n_x + n_u) instead of
         O(n_coll*n_x) — is swept by the BBD/Pallas path.  ~20x fewer
         sequential-sweep flops than the uncondensed band on the CSTR
-        flagship (see solver/bbd.py:CondensedAssembler).
-
-        The per-instance AD oracles are *permuted* (interior entries
-        first) so every condensed block (H_ii/H_ib/H_bb, J sub-blocks) is
-        a contiguous static slice of the AD output that XLA fuses into the
-        producer — fancy-index gathers over the full (B, I, d, d)
-        Lagrangian Hessian were measured at ~17 ms/iter of pure HBM
-        traffic at B=128 (BENCH.md round-2 profile).  The M blocks are
-        built once per Newton step in ``prepare``; only the Levenberg
-        ``delta`` diagonal (the sole per-solve dynamic scalar) is applied
-        in ``solve``, so the retry ladder / SOC / polish reuse the
-        assembled blocks."""
+        flagship (see solver/bbd.py:CondensedAssembler)."""
         from ..solver.bbd import CondensedAssembler, bbd_solve
         plan = self._condensation_plan()
         assert plan is not None, "condensation not applicable here"
@@ -995,86 +984,74 @@ class MPC(Optimizer, IteratedVariables):
         self._kkt_structure_cond = assembler
 
         gather = sp["gather"]
-        lag_i, g_i, h_i = sp["lag_i"], sp["g_i"], sp["h_i"]
+        d_g, d_h, d2_lag = sp["d_g"], sp["d_h"], sp["d2_lag"]
         R_g_j, R_h_j = sp["R_g_j"], sp["R_h_j"]
         omega, term_mask_f = sp["omega"], sp["term_mask_f"]
         n_iv, n_bv = len(int_cols), len(bnd_cols)
         n_ir, n_br = len(int_rows), len(bnd_rows)
         n_ie = n_iv + n_ir
         n_be = n_bv + n_br + nlr
+        ic_j = jnp.asarray(int_cols)
+        bc_j = jnp.asarray(bnd_cols)
         A_int_j = jnp.asarray(A_int)
         R_g_int_j = jnp.asarray(R_g_int)
         R_h_flat_j = jnp.asarray(R_h.reshape(-1)) if nlr else None
         accel = jax.default_backend() == "tpu"
 
-        # permuted AD oracles: local variable order [int_cols, bnd_cols],
-        # equality-row order [int_rows, bnd_rows] — block extraction below
-        # is then pure static slicing (no gathers over (I, d, d) tensors)
-        col_perm = np.concatenate([int_cols, bnd_cols])
-        inv_col = np.argsort(col_perm)
-        row_perm = np.concatenate([int_rows, bnd_rows])
-        col_perm_j = jnp.asarray(col_perm)
-        inv_col_j = jnp.asarray(inv_col)
-        row_perm_j = jnp.asarray(row_perm)
-
-        def lag_p(vp, tvp, tvpN, p, om, tmask, lam_gi, lam_hi):
-            return lag_i(vp[inv_col_j], tvp, tvpN, p, om, tmask,
-                         lam_gi, lam_hi)
-
-        d2_lag_p = jax.hessian(lag_p)
-
-        def g_p(vp, tvp, p):
-            return g_i(vp[inv_col_j], tvp, p)[row_perm_j]
-
-        d_g_p = jax.jacfwd(g_p)
-
-        def h_p(vp, tvp, p):
-            return h_i(vp[inv_col_j], tvp, p)
-
-        d_h_p = jax.jacfwd(h_p) if nlr else None
-        eye_ir_np = np.eye(n_ir)
-        # delta enters only the interior-variable diagonal of M_ii; the
-        # boundary-variable delta rides the assembler's sig_w + delta
-        iv_diag = jnp.asarray(np.diag(np.concatenate(
-            [np.ones(n_iv), np.zeros(n_ir)])))
+        # NOTE on the block-extraction formulation: an alternative that
+        # permutes the AD oracles (interiors first) so every block below
+        # is a contiguous static slice was built and measured SLOWER
+        # in-loop (52-58 vs 46.6 ms/iter at B=128) despite the isolated
+        # prepare+solve being 19 ms faster — inside the solver's
+        # while-loop XLA already fuses these fancy-index gathers into the
+        # Hessian producer, and the slice/concat formulation broke that
+        # fusion (r2 BENCH's "17 ms M-build" was an isolated-measurement
+        # artifact; see BENCH.md round-3 notes).  Keep the gathers.
 
         def prepare(w, pvec, lam_g, lam_h, sig_w, inv_sig_s):
             V, tvp, tvpN, p = gather(w, pvec)
-            Vp = V[:, col_perm_j]
-            dtype = w.dtype
             Lg = lam_g[R_g_j]
-            Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), dtype)
-            Hp = jax.vmap(d2_lag_p, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
-                Vp, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)
-            Jp = jax.vmap(d_g_p)(Vp, tvp, p)        # (I, E, d) permuted
-            Jh_p = (jax.vmap(d_h_p)(Vp, tvp, p) if nlr
-                    else jnp.zeros((I, 0, d), dtype))
-            H_ii = Hp[:, :n_iv, :n_iv]
-            H_ib = Hp[:, :n_iv, n_iv:]
-            H_bb = Hp[:, n_iv:, n_iv:]
-            J_ii = Jp[:, :n_ir, :n_iv]
-            J_ib = Jp[:, :n_ir, n_iv:]
-            Jb_ii = Jp[:, n_ir:, :n_iv]             # bnd rows x int cols
-            Jb_ib = Jp[:, n_ir:, n_iv:]
-            sig_int = sig_w[A_int_j]                # (I, n_iv)
+            Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), w.dtype)
+            Hi = jax.vmap(d2_lag, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
+                V, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)
+            Jg_i = jax.vmap(d_g)(V, tvp, p)
+            Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
+                    else jnp.zeros((I, 0, d), w.dtype))
+            return (Hi, Jg_i, Jh_i, sig_w, inv_sig_s)
 
-            M_ii0 = jnp.concatenate([
+        def solve(ctx, r_dw, r_g, r_h_mod, delta):
+            Hi, Jg_i, Jh_i, sig_w, inv_sig_s = ctx
+            dtype = r_dw.dtype
+            b_w, b_g = -r_dw, -r_g
+            b_h = -r_h_mod if q else jnp.zeros((0,), dtype)
+
+            H_ii = Hi[:, ic_j[:, None], ic_j[None, :]]
+            H_ib = Hi[:, ic_j[:, None], bc_j[None, :]]
+            H_bb = Hi[:, bc_j[:, None], bc_j[None, :]]
+            Jg_int = Jg_i[:, int_rows]          # (I, n_ir, d)
+            Jg_bnd = Jg_i[:, bnd_rows]          # (I, n_br, d)
+            J_ii = Jg_int[:, :, ic_j]
+            J_ib = Jg_int[:, :, bc_j]
+            Jb_ii = Jg_bnd[:, :, ic_j]          # bnd rows x int cols
+            Jb_ib = Jg_bnd[:, :, bc_j]
+            sig_int = sig_w[A_int_j] + delta    # (I, n_iv)
+            eye_ir = jnp.eye(n_ir, dtype=dtype)
+
+            M_ii = jnp.concatenate([
                 jnp.concatenate([
                     H_ii + jax.vmap(jnp.diag)(sig_int),
                     jnp.swapaxes(J_ii, 1, 2)], axis=2),
                 jnp.concatenate([
                     J_ii, -delta_cons * jnp.broadcast_to(
-                        jnp.asarray(eye_ir_np, dtype),
-                        (I, n_ir, n_ir))], axis=2)], axis=1)
+                        eye_ir, (I, n_ir, n_ir))], axis=2)], axis=1)
 
             if nlr:
-                Jh_int = Jh_p[:, :, :n_iv]
-                Jh_bnd = Jh_p[:, :, n_iv:]
+                Jh_int = Jh_i[:, :, ic_j]
+                Jh_bnd = Jh_i[:, :, bc_j]
                 M_ib_top = jnp.concatenate(
                     [H_ib, jnp.swapaxes(Jb_ii, 1, 2),
                      jnp.swapaxes(Jh_int, 1, 2)], axis=2)
             else:
-                Jh_bnd = Jh_p[:, :, n_iv:]
                 M_ib_top = jnp.concatenate(
                     [H_ib, jnp.swapaxes(Jb_ii, 1, 2)], axis=2)
             M_ib_bot = jnp.concatenate(
@@ -1101,15 +1078,7 @@ class MPC(Optimizer, IteratedVariables):
                 (-(inv_sig_s[R_h_flat_j].reshape(I, nlr) + delta_cons)
                  if nlr else jnp.zeros((I, 0), dtype))], axis=1)
             M_bb = M_bb + jax.vmap(jnp.diag)(diag_rows)
-            return (M_ii0, M_ib, M_bb, sig_w)
 
-        def solve(ctx, r_dw, r_g, r_h_mod, delta):
-            M_ii0, M_ib, M_bb, sig_w = ctx
-            dtype = r_dw.dtype
-            b_w, b_g = -r_dw, -r_g
-            b_h = -r_h_mod if q else jnp.zeros((0,), dtype)
-
-            M_ii = M_ii0 + delta * iv_diag.astype(dtype)
             b_int = jnp.concatenate(
                 [b_w[A_int_j], b_g[R_g_int_j]], axis=1)   # (I, n_ie)
             rhs_int = jnp.concatenate([M_ib, b_int[..., None]], axis=2)

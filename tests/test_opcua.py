@@ -129,3 +129,86 @@ def test_rtbase_async_loop():
     rt.async_step_stop()
     rt.new_thread.join(timeout=2.0)
     assert sim.data._y.shape[0] >= 2   # several cycles ran
+
+
+# ---------------------------------------------------------------------------
+# Live loopback over a real OPC UA server (reference examples run exactly
+# this loop; do_mpc/opcua/_server.py:82-109).  Requires asyncua, which is
+# optional — the test skips cleanly where the network stack is absent.
+# ---------------------------------------------------------------------------
+import pytest
+
+try:
+    import asyncua  # noqa: F401
+    _HAS_ASYNCUA = True
+except ImportError:
+    _HAS_ASYNCUA = False
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not _HAS_ASYNCUA, reason="asyncua not installed")
+def test_live_loopback_mpc_simulator():
+    """RTServer on localhost + two RTBase clients (MPC and plant
+    simulator) round-tripping 3 cycles over opc.tcp; the distributed
+    trajectory must match the direct in-process loop."""
+    from dompc_tpu.opcua import RTServer, ServerOpts
+
+    def build_pair():
+        model = systems.oscillating_masses_model()
+        mpc = systems.oscillating_masses_mpc(model)
+        sim = dm.Simulator(model)
+        sim.set_param(t_step=0.5)
+        sim.setup()
+        return model, mpc, sim
+
+    x0 = np.array([2.0, 1.0, 0.0, 0.0])
+
+    # direct loop (truth)
+    _, mpc_d, sim_d = build_pair()
+    mpc_d.x0 = x0
+    sim_d.x0 = x0
+    mpc_d.set_initial_guess()
+    xk = x0
+    for _ in range(3):
+        u = mpc_d.make_step(xk)
+        xk = sim_d.make_step(u).reshape(-1)
+
+    # distributed loop over a real local server
+    port = 46295
+    _, mpc_n, sim_n = build_pair()
+    mpc_n.x0 = x0
+    sim_n.x0 = x0
+    mpc_n.set_initial_guess()
+    server = RTServer(ServerOpts("srv", "localhost", port))
+    rt_mpc = RTBase(mpc_n, ClientOpts("mpc", "localhost", port))
+    rt_sim = RTBase(sim_n, ClientOpts("sim", "localhost", port))
+    server.namespace_from_client(rt_mpc)
+    server.namespace_from_client(rt_sim)
+    server.start()
+    try:
+        rt_mpc.connect()
+        rt_sim.connect()
+        ns_mpc = rt_mpc.client.namespace_list[0]
+        ns_sim = rt_sim.client.namespace_list[0]
+        x_tags = sum((ns_sim[f"y[{i}]"] for i in range(4)), [])
+        u_tags = ns_mpc["u[0]"]
+        rt_mpc.set_read_tags(x_tags)
+        rt_mpc.set_write_tags(u_tags)
+        rt_sim.set_read_tags(u_tags)
+        rt_sim.set_write_tags(x_tags)
+        # seed the plant state tags with x0
+        rt_sim.write_to_tags(x0)
+        for _ in range(3):
+            rt_mpc.make_step()
+            rt_sim.make_step()
+    finally:
+        try:
+            rt_mpc.disconnect()
+            rt_sim.disconnect()
+        finally:
+            server.stop()
+
+    np.testing.assert_allclose(mpc_n.data._u, mpc_d.data._u,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sim_n.data._x, sim_d.data._x,
+                               rtol=1e-8, atol=1e-10)
