@@ -83,6 +83,25 @@ def main():
     warm_iters = float(jnp.mean(sol_w.iterations.astype(jnp.float32)))
     warm_success = float(jnp.mean(sol_w.success.astype(jnp.float32)))
 
+    # tolerance-matched warm row: the headline runs at the receding-horizon
+    # tol (1e-3); this re-solves the same warm batch at scaled-KKT 1e-6
+    # (the tightest reliably reachable in f32) so the speedup claim can be
+    # compared at an IPOPT-like tolerance as well.
+    tol_tight = float(os.environ.get("DOMPC_BENCH_TOL_TIGHT", "1e-6"))
+    solve_tight = make_batch_solver(mpc, tol=tol_tight, max_iter=max_iter,
+                                    throughput_mode=True)
+    M_t = jnp.full((B,), tol_tight / 10.0, X.dtype)
+    sol_t, u0s_t = solve_tight(X_w, W_w, L_w, M_t, sol.zl, sol.zu)
+    u0s_t.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sol_t, u0s_t = solve_tight(X_w, W_w, L_w, M_t, sol.zl, sol.zu)
+        u0s_t.block_until_ready()
+    wall_t = time.perf_counter() - t0
+    tight_solves_per_s = B * reps / wall_t
+    tight_iters = float(jnp.mean(sol_t.iterations.astype(jnp.float32)))
+    tight_success = float(jnp.mean(sol_t.success.astype(jnp.float32)))
+
     # real-time-iteration mode: fixed Newton steps per solve with decaying
     # barrier, Levenberg-damped and step-clipped, warm-started — the
     # acados-style receding-horizon hot path.  Control quality gates live
@@ -154,6 +173,10 @@ def main():
         "warm_success_rate": round(warm_success, 3),
         "mean_iterations": round(mean_iters, 1),
         "warm_iterations": round(warm_iters, 1),
+        "warm_solves_per_s_tol1e6": round(tight_solves_per_s, 3),
+        "warm_iterations_tol1e6": round(tight_iters, 1),
+        "warm_success_tol1e6": round(tight_success, 3),
+        "tol_tight": tol_tight,
         "rti_solves_per_s": round(rti_solves_per_s, 3),
         "rti_iters": rti_n,
         "rti_vs_warm_first_input_rel_err": round(du_F, 5),

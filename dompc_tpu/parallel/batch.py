@@ -78,11 +78,12 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
     """
     st = mpc.settings
     if throughput_mode or rti_iters:
-        # under vmap every lax.cond branch executes, so each retry rung and
-        # the second-order correction cost one full KKT sweep per iteration
-        # whether or not any instance needs them — drop the ladder entirely
-        # (profiled at 2x per-iteration cost) and let the non-finite step
-        # guard + adaptive prox damping carry robustness
+        # the retry rungs and the second-order correction now zero-trip
+        # skip when no batch element needs them (solver/ipm.py:_cond_any),
+        # so they no longer cost a KKT sweep per iteration — but any
+        # element triggering them still stalls the whole batch for that
+        # trip, so throughput mode keeps them off and lets the non-finite
+        # step guard + adaptive prox damping carry robustness
         ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,
                                    reg_retries=0, use_soc=False,
                                    do_polish=False, rti_iters=rti_iters,

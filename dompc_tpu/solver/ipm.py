@@ -149,6 +149,29 @@ def _safe_div(a, b):
     return a / jnp.where(b == 0, 1.0, b)
 
 
+def _cond_any(pred, true_fn, false_val):
+    """``lax.cond`` that SKIPS the true branch when no batch element
+    needs it.
+
+    Under ``vmap``, ``lax.cond`` lowers to ``select`` and executes BOTH
+    branches for the whole batch, every time — the second-order
+    correction and the regularization-retry rungs each cost a full KKT
+    backsolve per iteration that way (the round-2 reason throughput mode
+    dropped them entirely).  A 0/1-trip ``while_loop`` instead runs its
+    body only while ANY element's predicate holds (jax's while batching
+    rule reduces the condition with `any` and select-preserves finished
+    elements), so the common all-accepted iteration pays nothing.
+    ``true_fn()`` must return a pytree matching ``false_val``."""
+    def cond(carry):
+        return carry[0]
+
+    def body(carry):
+        return (jnp.zeros_like(carry[0]), true_fn())
+
+    _, out = jax.lax.while_loop(cond, body, (pred, false_val))
+    return out
+
+
 def make_ipm_solver(
     f: Callable, g: Callable, h: Callable,
     lb, ub, n_eq: int, n_ineq: int,
@@ -259,17 +282,26 @@ def make_ipm_solver(
         return vio
 
     # -- KKT error ---------------------------------------------------------
-    def kkt_residuals(w, s, lam, zl, zu, p):
+    def point_evals(w, lam, p):
+        """The (gradient, residuals, constraint-Jacobian-transpose
+        product) shared by the KKT-error check and the Newton step at the
+        same point — computed once and passed explicitly wherever the
+        two uses sit on opposite sides of a while_loop boundary (XLA
+        cannot CSE across it)."""
+        gf = grad_f(w, p)
+        gv, hv = eval_all(w, p)
+        jtl = jgT_mv(w, p, lam[:m]) + jhT_mv(w, p, lam[m:])
+        return (gf, gv, hv, jtl)
+
+    def kkt_residuals(w, s, lam, zl, zu, p, pre=None):
         """Mu-independent residual summary; errors for any mu derive from it
         cheaply (one evaluation serves err_mu / err_0 / err_{mu_new})."""
-        gf = grad_f(w, p)
-        lam_g = lam[:m]
-        lam_h = lam[m:]
-        r_dw = gf + jgT_mv(w, p, lam_g) + jhT_mv(w, p, lam_h)
+        gf, gv, hv, jtl = pre if pre is not None else point_evals(
+            w, lam, p)
+        r_dw = gf + jtl
         r_dw = r_dw - jnp.where(has_lb, zl[:n], 0.0) \
                     + jnp.where(has_ub, zu[:n], 0.0)
-        r_ds = (lam_h - zl[n:]) if q else jnp.zeros((0,), w.dtype)
-        gv, hv = eval_all(w, p)
+        r_ds = (lam[m:] - zl[n:]) if q else jnp.zeros((0,), w.dtype)
         r_p = jnp.concatenate([gv, hv + s])
         dl_w, dl_s = dist_l(w, s)
         du_w = dist_u(w)
@@ -320,10 +352,10 @@ def make_ipm_solver(
     solve_kkt = kkt_solve if kkt_solve is not None else dense_kkt
 
     # -- one Newton iteration at fixed mu ----------------------------------
-    def newton_step(w, s, lam, zl, zu, p, mu, prox):
+    def newton_step(w, s, lam, zl, zu, p, mu, prox, pre=None):
         lam_g, lam_h = lam[:m], lam[m:]
-        gf = grad_f(w, p)
-        gv, hv = eval_all(w, p)
+        gf, gv, hv, jtl = pre if pre is not None else point_evals(
+            w, lam, p)
 
         dl_w, dl_s = dist_l(w, s)
         du_w = dist_u(w)
@@ -336,7 +368,7 @@ def make_ipm_solver(
         sig_s = zl[n:] / dl_s
 
         # barrier-gradient form of the dual residual
-        r_dw = gf + jgT_mv(w, p, lam_g) + jhT_mv(w, p, lam_h) \
+        r_dw = gf + jtl \
             - jnp.where(has_lb, mu / dl_w, 0.0) \
             + jnp.where(has_ub, mu / du_w, 0.0)
         r_ds = lam_h - mu / dl_s if q else jnp.zeros((0,), w.dtype)
@@ -428,9 +460,11 @@ def make_ipm_solver(
         for mult in (10.0, 1e2, 1e3, 1e5, 1e7)[:st.reg_retries]:
             bad = need_retry(step, prev_delta)
             delta = jnp.maximum(prox, 1e-8) * mult
-            new_step = jax.lax.cond(bad, lambda d=delta: do_solve(d),
-                                    lambda: step)
-            step = new_step
+            # zero-trip skip when no element needs this rung (a lax.cond
+            # would re-run the full KKT solve unconditionally under vmap
+            # — the round-2 profile measured the ladder at 2x
+            # per-iteration cost, which is why throughput mode dropped it)
+            step = _cond_any(bad, lambda d=delta: do_solve(d), step)
             prev_delta = jnp.where(bad, delta, prev_delta)
         dw, dlam_g, dlam_h = step
         # Non-finite guard (load-bearing when reg_retries == 0, i.e.
@@ -509,10 +543,11 @@ def make_ipm_solver(
         return a_p, a_d
 
     # -- line search on l1 merit -------------------------------------------
-    def ls_trial(w, s, dw, ds, p, mu, alpha, nu):
-        """Single acceptance test at the given step size."""
+    def ls_trial(w, s, dw, ds, p, mu, alpha, nu, gvhv0=None):
+        """Single acceptance test at the given step size.  ``gvhv0``:
+        optional precomputed (g, h) at ``w`` (see point_evals)."""
         phi0 = barrier_value(w, s, p, mu)
-        gv, hv = eval_all(w, p)
+        gv, hv = gvhv0 if gvhv0 is not None else eval_all(w, p)
         vio0 = constraint_violation(gv, hv, s)
         w_t = w + alpha * dw
         s_t = s + alpha * ds
@@ -527,9 +562,18 @@ def make_ipm_solver(
             | (merit <= merit0 + 1e-12 * jnp.abs(merit0))
         )
 
-    def line_search(w, s, dw, ds, p, mu, alpha_max, nu):
+    def line_search(w, s, dw, ds, p, mu, alpha_max, nu, pre_ok=None,
+                gvhv0=None):
+        """Backtracking on the l1 merit.  ``pre_ok`` seeds the loop with
+        the already-decided acceptance of the FULL step ``alpha_max`` (the
+        ``ls_trial``/KKT-decrease test computed outside): seeded-done
+        elements take zero loop trips, and — critically under ``vmap``,
+        where a batched ``while_loop`` runs while ANY element is
+        unfinished — a fully-accepted warm batch skips the body entirely
+        instead of paying one dead f/g/h trial evaluation per Newton
+        step (measured ~5 ms/iter at B=128 on the flagship)."""
         phi0 = barrier_value(w, s, p, mu)
-        gv, hv = eval_all(w, p)
+        gv, hv = gvhv0 if gvhv0 is not None else eval_all(w, p)
         vio0 = constraint_violation(gv, hv, s)
 
         def try_alpha(alpha):
@@ -548,19 +592,23 @@ def make_ipm_solver(
             return ok
 
         def body(carry):
-            alpha, k, _ = carry
-            ok = try_alpha(alpha)
-            return jax.lax.cond(
-                ok,
-                lambda: (alpha, k + 1, True),
-                lambda: (alpha * 0.5, k + 1, False))
+            alpha, k, done = carry
+            # halve first: the seed already covers the alpha_max trial.
+            # Under vmap the batched while_loop keeps applying the body
+            # until EVERY element is done, so finished elements must be
+            # preserved explicitly.
+            alpha_try = alpha * 0.5
+            ok = try_alpha(alpha_try)
+            return (jnp.where(done, alpha, alpha_try), k + 1, done | ok)
 
         def cond(carry):
             alpha, k, done = carry
             return (~done) & (k < st.ls_max)
 
+        if pre_ok is None:
+            pre_ok = try_alpha(alpha_max)
         alpha, _, done = jax.lax.while_loop(
-            cond, body, (alpha_max, 0, False))
+            cond, body, (alpha_max, 0, pre_ok))
         # if the search failed entirely take a tiny step (keeps progress
         # under vmap; IPOPT would enter feasibility restoration here)
         alpha = jnp.where(done, alpha, alpha_max * (0.5 ** st.ls_max))
@@ -573,122 +621,163 @@ def make_ipm_solver(
 
         def body(stt: IPMState):
             w, s, lam, zl, zu, mu = stt.w, stt.s, stt.lam, stt.zl, stt.zu, stt.mu
-            res0 = kkt_residuals(w, s, lam, zl, zu, p)
+            # shared point evaluations for the residual check and the
+            # Newton step (explicit sharing; XLA would CSE these anyway
+            # within one body, but the explicit form keeps that true if
+            # pieces ever move across control-flow boundaries)
+            pre = point_evals(w, lam, p)
+            res0 = kkt_residuals(w, s, lam, zl, zu, p, pre=pre)
             err_mu = err_from(res0, mu)
             err_0 = err_from(res0, 0.0)
-
-            # barrier update when the inner problem is solved
-            shrink = err_mu <= st.kappa_eps * mu
-            mu_new = jnp.where(
-                shrink,
-                jnp.maximum(st.tol / 10.0,
-                            jnp.minimum(st.kappa_mu * mu, mu ** st.theta_mu)),
-                mu)
-
-            dw, ds, dlam, dzl, dzu, resolve_soc, delta_used = newton_step(
-                w, s, lam, zl, zu, p, mu_new, stt.prox)
-            a_p, a_d = fraction_to_boundary(w, s, dw, ds, zl, zu, dzl, dzu,
-                                            mu_new)
-            nu = jnp.maximum(1.0, 2.0 * jnp.max(
-                jnp.abs(lam + dlam), initial=0.0))
-
-            # acceptance: merit test OR direct KKT-error decrease (the
-            # latter is what matters near the central path, where the l1
-            # merit is too conservative once primal feasibility ~ 0)
-            err_ref = err_from(res0, mu_new)
-
-            def kkt_decrease(alpha, dw_, ds_, dlam_, dzl_, dzu_, a_d_):
-                w_t = w + alpha * dw_
-                s_t = s + alpha * ds_
-                lam_t = lam + alpha * dlam_
-                zl_t = zl + a_d_ * dzl_
-                zu_t = zu + a_d_ * dzu_
-                err_t = kkt_error(w_t, s_t, lam_t, zl_t, zu_t, p, mu_new)
-                return jnp.isfinite(err_t) & (err_t < 0.99 * err_ref)
-
-            # full step if acceptable; else one second-order correction
-            # (absorbs the nonlinear constraint-violation growth of long
-            # steps, IPOPT-style); else backtracking line search
-            ok_full = ls_trial(w, s, dw, ds, p, mu_new, a_p, nu) \
-                | kkt_decrease(a_p, dw, ds, dlam, dzl, dzu, a_d)
-
-            def do_soc(_):
-                dw2, ds2, dlam2, dzl2, dzu2 = resolve_soc(a_p)
-                a_p2, a_d2 = fraction_to_boundary(
-                    w, s, dw2, ds2, zl, zu, dzl2, dzu2, mu_new)
-                ok2 = ls_trial(w, s, dw2, ds2, p, mu_new, a_p2, nu) \
-                    | kkt_decrease(a_p2, dw2, ds2, dlam2, dzl2, dzu2, a_d2)
-                return ok2, dw2, ds2, dlam2, dzl2, dzu2, a_p2, a_d2
-
-            def no_soc(_):
-                return (jnp.asarray(False), dw, ds, dlam, dzl, dzu, a_p,
-                        a_d)
-
-            if st.use_soc:
-                (soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
-                 a_d2) = jax.lax.cond(ok_full, no_soc, do_soc, None)
-            else:
-                (soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
-                 a_d2) = no_soc(None)
-            use_soc = (~ok_full) & soc_ok
-
-            def pick(a, b):
-                return jnp.where(use_soc, b, a)
-
-            dw = pick(dw, dw2)
-            ds = pick(ds, ds2)
-            dlam = pick(dlam, dlam2)
-            dzl = pick(dzl, dzl2)
-            dzu = pick(dzu, dzu2)
-            a_p = jnp.where(use_soc, a_p2, a_p)
-            a_d = jnp.where(use_soc, a_d2, a_d)
-
-            alpha = jax.lax.cond(
-                ok_full | use_soc,
-                lambda: a_p,
-                lambda: line_search(w, s, dw, ds, p, mu_new, a_p, nu))
-
-            w_n = w + alpha * dw
-            s_n = s + alpha * ds
-            lam_n = lam + alpha * dlam
-            zl_n = zl + a_d * dzl
-            zu_n = zu + a_d * dzu
-            # keep duals sane relative to the barrier parameter (IPOPT's
-            # kappa_Sigma safeguard)
-            dl_w, dl_s = dist_l(w_n, s_n)
-            du_w = dist_u(w_n)
-            dl = jnp.concatenate([dl_w, dl_s])
-            kap = 1e10
-            zl_n = jnp.clip(zl_n, mu_new / (kap * jnp.maximum(dl, _TINY)),
-                            kap * mu_new / jnp.maximum(dl, _TINY))
-            du = jnp.concatenate([du_w, jnp.full((q,), jnp.inf, w.dtype)])
-            zu_n = jnp.where(
-                jnp.concatenate([has_ub, jnp.zeros((q,), bool)]),
-                jnp.clip(zu_n, mu_new / (kap * jnp.maximum(du, _TINY)),
-                         kap * mu_new / jnp.maximum(du, _TINY)),
-                0.0)
-
-            if st.debug:
-                jax.debug.print(
-                    "it={it} mu={mu:.1e} err0={e0:.2e} errmu={em:.2e} "
-                    "alpha={a:.2e} a_d={ad:.2e} nu={nu:.1e}",
-                    it=stt.it, mu=mu_new, e0=err_0, em=err_mu, a=alpha,
-                    ad=a_d, nu=nu)
             converged = err_0 <= st.tol
-            # Levenberg adaptation: small accepted steps -> more damping
-            # (tames huge Newton steps along flat directions that the line
-            # search would otherwise crush); good steps -> less damping.
-            prox_n = jnp.where(
-                alpha < 0.1, jnp.maximum(delta_used * 10.0, 1e-8),
-                jnp.where(alpha > 0.9, delta_used / 5.0, delta_used))
-            prox_n = jnp.clip(prox_n, 0.0, 1e6)
+
+            # NOTE: wrapping everything below in a _cond_any "skip when
+            # the whole batch is converged" was built and measured: the
+            # while-boundary cost XLA ~17 ms/trip of lost fusion at
+            # B=128 — a wash against the skipped trips.  Keep the body
+            # straight-line; converged elements are frozen by the
+            # jnp.where at the bottom.
+            def take_step():
+                # barrier update when the inner problem is solved
+                shrink = err_mu <= st.kappa_eps * mu
+                mu_new = jnp.where(
+                    shrink,
+                    jnp.maximum(st.tol / 10.0,
+                                jnp.minimum(st.kappa_mu * mu,
+                                            mu ** st.theta_mu)),
+                    mu)
+
+                dw, ds, dlam, dzl, dzu, resolve_soc, delta_used = \
+                    newton_step(w, s, lam, zl, zu, p, mu_new, stt.prox,
+                                pre=pre)
+                a_p, a_d = fraction_to_boundary(w, s, dw, ds, zl, zu, dzl,
+                                                dzu, mu_new)
+                nu = jnp.maximum(1.0, 2.0 * jnp.max(
+                    jnp.abs(lam + dlam), initial=0.0))
+
+                # acceptance: merit test OR direct KKT-error decrease (the
+                # latter is what matters near the central path, where the
+                # l1 merit is too conservative once primal feasibility ~ 0)
+                err_ref = err_from(res0, mu_new)
+
+                def kkt_decrease(alpha, dw_, ds_, dlam_, dzl_, dzu_, a_d_):
+                    w_t = w + alpha * dw_
+                    s_t = s + alpha * ds_
+                    lam_t = lam + alpha * dlam_
+                    zl_t = zl + a_d_ * dzl_
+                    zu_t = zu + a_d_ * dzu_
+                    err_t = kkt_error(w_t, s_t, lam_t, zl_t, zu_t, p,
+                                      mu_new)
+                    return jnp.isfinite(err_t) & (err_t < 0.99 * err_ref)
+
+                # full step if acceptable; else one second-order
+                # correction (absorbs the nonlinear constraint-violation
+                # growth of long steps, IPOPT-style); else backtracking
+                # line search
+                ok_full = ls_trial(w, s, dw, ds, p, mu_new, a_p, nu,
+                                   gvhv0=pre[1:3]) \
+                    | kkt_decrease(a_p, dw, ds, dlam, dzl, dzu, a_d)
+
+                def do_soc(_):
+                    dw2, ds2, dlam2, dzl2, dzu2 = resolve_soc(a_p)
+                    a_p2, a_d2 = fraction_to_boundary(
+                        w, s, dw2, ds2, zl, zu, dzl2, dzu2, mu_new)
+                    ok2 = ls_trial(w, s, dw2, ds2, p, mu_new, a_p2, nu,
+                                   gvhv0=pre[1:3]) \
+                        | kkt_decrease(a_p2, dw2, ds2, dlam2, dzl2, dzu2,
+                                       a_d2)
+                    return ok2, dw2, ds2, dlam2, dzl2, dzu2, a_p2, a_d2
+
+                def no_soc(_):
+                    return (jnp.asarray(False), dw, ds, dlam, dzl, dzu,
+                            a_p, a_d)
+
+                if st.use_soc:
+                    # zero-trip skip when the whole batch accepted the
+                    # full step (a lax.cond here would pay the SOC's
+                    # extra KKT backsolve unconditionally under vmap)
+                    (soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
+                     a_d2) = _cond_any(~ok_full, lambda: do_soc(None),
+                                       no_soc(None))
+                else:
+                    (soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
+                     a_d2) = no_soc(None)
+                use_soc = (~ok_full) & soc_ok
+
+                def pick(a, b):
+                    return jnp.where(use_soc, b, a)
+
+                dw = pick(dw, dw2)
+                ds = pick(ds, ds2)
+                dlam = pick(dlam, dlam2)
+                dzl = pick(dzl, dzl2)
+                dzu = pick(dzu, dzu2)
+                a_p = jnp.where(use_soc, a_p2, a_p)
+                a_d = jnp.where(use_soc, a_d2, a_d)
+
+                # seeded: accepted elements take zero loop trips, so a
+                # fully-accepted batch skips the body entirely under vmap
+                # (the previous lax.cond formulation executed the dead
+                # line-search branch unconditionally under vmap —
+                # measured 13.6 ms/iter of waste on the warm flagship at
+                # B=128)
+                alpha = line_search(w, s, dw, ds, p, mu_new, a_p, nu,
+                                    pre_ok=ok_full | use_soc,
+                                    gvhv0=pre[1:3])
+
+                w_n = w + alpha * dw
+                s_n = s + alpha * ds
+                lam_n = lam + alpha * dlam
+                zl_n = zl + a_d * dzl
+                zu_n = zu + a_d * dzu
+                # keep duals sane relative to the barrier parameter
+                # (IPOPT's kappa_Sigma safeguard)
+                dl_w, dl_s = dist_l(w_n, s_n)
+                du_w = dist_u(w_n)
+                dl = jnp.concatenate([dl_w, dl_s])
+                kap = 1e10
+                zl_c = jnp.clip(zl_n,
+                                mu_new / (kap * jnp.maximum(dl, _TINY)),
+                                kap * mu_new / jnp.maximum(dl, _TINY))
+                du = jnp.concatenate([du_w,
+                                      jnp.full((q,), jnp.inf, w.dtype)])
+                zu_c = jnp.where(
+                    jnp.concatenate([has_ub, jnp.zeros((q,), bool)]),
+                    jnp.clip(zu_n,
+                             mu_new / (kap * jnp.maximum(du, _TINY)),
+                             kap * mu_new / jnp.maximum(du, _TINY)),
+                    0.0)
+
+                if st.debug:
+                    jax.debug.print(
+                        "it={it} mu={mu:.1e} err0={e0:.2e} errmu={em:.2e} "
+                        "alpha={a:.2e} a_d={ad:.2e} nu={nu:.1e}",
+                        it=stt.it, mu=mu_new, e0=err_0, em=err_mu,
+                        a=alpha, ad=a_d, nu=nu)
+                # Levenberg adaptation: small accepted steps -> more
+                # damping (tames huge Newton steps along flat directions
+                # that the line search would otherwise crush); good
+                # steps -> less damping.
+                prox_n = jnp.where(
+                    alpha < 0.1, jnp.maximum(delta_used * 10.0, 1e-8),
+                    jnp.where(alpha > 0.9, delta_used / 5.0, delta_used))
+                prox_n = jnp.clip(prox_n, 0.0, 1e6)
+                return (w_n, s_n, lam_n, zl_c, zu_c, mu_new, prox_n)
+
+            (w_t2, s_t2, lam_t2, zl_t2, zu_t2, mu_t2,
+             prox_n) = take_step()
+
+            def frz(old, new):
+                return jnp.where(converged, old, new)
+
+            w_n = frz(w, w_t2)
+            s_n = frz(s, s_t2)
+            lam_n = frz(lam, lam_t2)
+            zl_n = frz(zl, zl_t2)
+            zu_n = frz(zu, zu_t2)
+            mu_n = frz(mu, mu_t2)
             return IPMState(
-                w=jnp.where(converged, w, w_n),
-                s=jnp.where(converged, s, s_n),
-                lam=jnp.where(converged, lam, lam_n),
-                zl=jnp.where(converged, zl, zl_n),
-                zu=jnp.where(converged, zu, zu_n),
-                mu=jnp.where(converged, mu, mu_new),
+                w=w_n, s=s_n, lam=lam_n, zl=zl_n, zu=zu_n, mu=mu_n,
                 it=stt.it + 1,
                 converged=converged,
                 kkt_err=err_0,
