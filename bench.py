@@ -84,10 +84,13 @@ def main():
     warm_success = float(jnp.mean(sol_w.success.astype(jnp.float32)))
 
     # tolerance-matched warm row: the headline runs at the receding-horizon
-    # tol (1e-3); this re-solves the same warm batch at scaled-KKT 1e-6
-    # (the tightest reliably reachable in f32) so the speedup claim can be
-    # compared at an IPOPT-like tolerance as well.
-    tol_tight = float(os.environ.get("DOMPC_BENCH_TOL_TIGHT", "1e-6"))
+    # tol (1e-3); this re-solves the same warm batch at the tightest
+    # scaled-KKT tolerance the f32 throughput path reaches reliably.
+    # Measured floor on this config: 1e-4 converges 100% (5.9 iters);
+    # 1e-5 sits below the f32 band-QR noise floor (20% success) — the
+    # f64-accuracy regime is the CPU golden-test path, and robust mode's
+    # active-set polish certifies ~1e-9 there.
+    tol_tight = float(os.environ.get("DOMPC_BENCH_TOL_TIGHT", "1e-4"))
     solve_tight = make_batch_solver(mpc, tol=tol_tight, max_iter=max_iter,
                                     throughput_mode=True)
     M_t = jnp.full((B,), tol_tight / 10.0, X.dtype)
@@ -173,9 +176,9 @@ def main():
         "warm_success_rate": round(warm_success, 3),
         "mean_iterations": round(mean_iters, 1),
         "warm_iterations": round(warm_iters, 1),
-        "warm_solves_per_s_tol1e6": round(tight_solves_per_s, 3),
-        "warm_iterations_tol1e6": round(tight_iters, 1),
-        "warm_success_tol1e6": round(tight_success, 3),
+        "warm_solves_per_s_tight": round(tight_solves_per_s, 3),
+        "warm_iterations_tight": round(tight_iters, 1),
+        "warm_success_tight": round(tight_success, 3),
         "tol_tight": tol_tight,
         "rti_solves_per_s": round(rti_solves_per_s, 3),
         "rti_iters": rti_n,

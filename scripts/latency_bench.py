@@ -14,8 +14,9 @@ are honest end-to-end numbers for THIS host, an upper bound on on-device
 latency.
 
 Prints one JSON line per config.  DOMPC_LAT_TOL sets the solver tol
-(default 1e-6 — the realistic f32 target; IPOPT's default 1e-8 is below
-f32 resolution).
+(default 1e-4 scaled KKT — the tightest the f32 TPU path reaches
+reliably, see bench.py; IPOPT's default 1e-8 is below f32 resolution.
+On CPU/f64 pass DOMPC_LAT_TOL=1e-8 for golden-grade latency).
 """
 import json
 import os
@@ -56,11 +57,17 @@ def run_mpc_loop(name, model, mpc, sim, x0, n_steps=8):
 
 def main():
     import jax
+    # DOMPC_LAT_PLATFORM=cpu gives the IPOPT-comparable regime (f64 host
+    # latency, no remote-dispatch RTT); pair with DOMPC_TPU_X64=1 and a
+    # tight DOMPC_LAT_TOL.  Must run before any backend use.
+    plat = os.environ.get("DOMPC_LAT_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import dompc_tpu as dm
     from dompc_tpu import systems
 
-    tol = float(os.environ.get("DOMPC_LAT_TOL", "1e-6"))
+    tol = float(os.environ.get("DOMPC_LAT_TOL", "1e-4"))
     only = set(sys.argv[1:])
 
     def tune(mpc):
