@@ -778,15 +778,40 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
                              "lanes" if accel else "scan")
     pallas_ok = choice == "pallas" and D.dtype == jnp.float32
 
+    # Partitioned (SPIKE-QR) sweep: the sequential sweep is depth-bound
+    # (S stages x b Householder columns); partitioning trades depth for
+    # extra lane batch (solver/batchqr.py:band_solve_spike_impl).
+    # Heuristic: ~6-stage segments once chains are long enough.
+    # DOMPC_TPU_SPIKE=0 disables, an integer forces the partition count
+    # (read at trace time).
+    # Measured trade-off: the partition carries 2b extra RHS columns
+    # through every panel, so on bandwidth-bound medium chains it LOSES
+    # (flagship S=21: 1022 vs 1304 warm solves/s at B=128), while on
+    # depth-bound long chains it WINS big (DIP S=101 per-step latency
+    # 35.6 s -> 12.0 s, 3.0x, at P=13).  Default: on for S >= 48 with
+    # ~7-stage segments; DOMPC_TPU_SPIKE=<P> forces a partition count,
+    # =0 disables (read at trace time).
+    spike_env = _os.environ.get("DOMPC_TPU_SPIKE", "")
+    if spike_env:
+        n_parts = int(spike_env)
+    else:
+        n_parts = max(2, round((S + 1) / 8)) if S >= 48 else 0
+
     def one_solve(rc, rr):
         aug = jnp.concatenate([Bord, rc[..., None]], axis=-1) if R \
             else rc[..., None]
         if pallas_ok:
             from .pallas_band import band_solve_qr_pallas
             Y = band_solve_qr_pallas(D, U, Lo, aug)       # (C,S,b,R+1)
-        elif choice == "lanes":
-            from .batchqr import band_solve
-            Y = band_solve(D, U, Lo, aug)
+        elif choice in ("lanes", "lanes_wy"):
+            if n_parts:
+                from .batchqr import band_solve_spike
+                Y = band_solve_spike(D, U, Lo, aug, n_parts=n_parts)
+            else:
+                from .batchqr import band_solve, band_solve_wy
+                Y = (band_solve_wy(D, U, Lo, aug)
+                     if choice == "lanes_wy" else
+                     band_solve(D, U, Lo, aug))
         else:
             Y = jax.vmap(band_solve_qr_multi)(D, U, Lo, aug)
         if not R:
@@ -794,7 +819,15 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
         BtY = jnp.einsum("ckir,ckit->rt", Bord, Y)         # (R, R+1)
         S_r = Root - BtY[:, :R]
         s_rhs = rr - BtY[:, R]
-        x_r = jnp.linalg.solve(S_r, s_rhs)
+        if choice in ("lanes", "pallas"):
+            # batched tiny root solves: pivoted LU serializes on TPU;
+            # the batch-in-lanes Householder QR flattens the outer vmap
+            # batch into lanes instead (same accelerator argument as the
+            # interior condensation solves, solver/batchqr.py)
+            from .batchqr import qr_solve
+            x_r = qr_solve(S_r[None], s_rhs[None, :, None])[0, :, 0]
+        else:
+            x_r = jnp.linalg.solve(S_r, s_rhs)
         x_c = Y[..., R] - jnp.einsum("ckit,t->cki", Y[..., :R], x_r)
         return x_c, x_r
 
