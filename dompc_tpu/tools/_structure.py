@@ -131,6 +131,11 @@ class NumStruct:
             name, *rest = name
             blk = self._block(name)
             return blk[tuple(rest)]
+        if not isinstance(name, str):
+            # positional indexing falls through to the flat data (the
+            # reference's numeric structs support both, e.g.
+            # ``mhe.p_est0[0]``)
+            return self.data[name]
         return self._block(name)
 
     def _block(self, name):

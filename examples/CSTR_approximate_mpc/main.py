@@ -25,6 +25,12 @@ def main():
     n_samples = int(os.environ.get("DOMPC_AMPC_SAMPLES", "64"))
     model = template_model()
     mpc = template_mpc(model)
+    # the reference's approximate-MPC variant uses a dedicated template
+    # with a FINITE T_R upper bound (reference
+    # examples/CSTR_approximate_mpc/template_mpc.py:80) — required for
+    # the NN's min-max input scaling; the shared robust template leaves
+    # T_R soft-constrained/unbounded.
+    mpc.bounds["upper", "_x", "T_R"] = 140.0
 
     # --- sampling: batched one-step MPC solves over a state box ---------
     sampler_settings = dm.approximateMPC.AMPCSamplerSettings(
