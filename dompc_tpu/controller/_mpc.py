@@ -641,10 +641,7 @@ class MPC(Optimizer, IteratedVariables):
         self._struct_parts = dict(
             gather=gather, d_g=d_g, d_h=d_h, d2_lag=d2_lag, R_g_j=R_g_j,
             R_h_j=R_h_j, omega=omega, term_mask_f=term_mask_f, nlr=nlr,
-            I=I, d=d, R_g=R_g, R_h=R_h,
-            # raw instance-local callables, for backends that re-derive
-            # permuted AD oracles (condensed KKT static-slice extraction)
-            lag_i=lag_i, g_i=g_i, h_i=h_i)
+            I=I, d=d, R_g=R_g, R_h=R_h)
 
         # sizes
         self.n_opt_lagr = m_eq

@@ -379,6 +379,12 @@ def band_solve_spike_impl(D, U, Lo, rhs, n_parts):
     t = rhs.shape[-1]
     dt = D.dtype
     P = n_parts
+    if P < 2 or S < 2 * P - 1:
+        # fewer than one interior stage per segment: partitioning is
+        # meaningless (callers should route to the plain sweep; guarded
+        # here too so a forced DOMPC_TPU_SPIKE cannot produce a size-0
+        # segment axis and an opaque trace-time IndexError)
+        return band_solve_qr_lanes(D, U, Lo, rhs)
     L = -(-(S - (P - 1)) // P)          # ceil segment length
     S_pad = P * L + (P - 1)
     if S_pad > S:                        # pad identity stages at the end

@@ -796,6 +796,11 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
         n_parts = int(spike_env)
     else:
         n_parts = max(2, round((S + 1) / 8)) if S >= 48 else 0
+    if n_parts < 2 or S < 2 * n_parts - 1 or choice == "lanes_wy":
+        # invalid/forced-off partition counts fall back to the plain
+        # sweep, and the lanes_wy A/B knob must actually measure the WY
+        # variant rather than being silently overridden by SPIKE
+        n_parts = 0
 
     def one_solve(rc, rr):
         aug = jnp.concatenate([Bord, rc[..., None]], axis=-1) if R \
@@ -819,7 +824,7 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
         BtY = jnp.einsum("ckir,ckit->rt", Bord, Y)         # (R, R+1)
         S_r = Root - BtY[:, :R]
         s_rhs = rr - BtY[:, R]
-        if choice in ("lanes", "pallas"):
+        if choice in ("lanes", "lanes_wy", "pallas"):
             # batched tiny root solves: pivoted LU serializes on TPU;
             # the batch-in-lanes Householder QR flattens the outer vmap
             # batch into lanes instead (same accelerator argument as the

@@ -115,10 +115,12 @@ class OptXNumArray(np.ndarray):
     """Flat decision vector with reference power indexing grafted on."""
 
     _optx_resolver = None
+    _optx_size = None
 
     def __array_finalize__(self, obj):
         if obj is not None:
             self._optx_resolver = getattr(obj, "_optx_resolver", None)
+            self._optx_size = getattr(obj, "_optx_size", None)
 
     @staticmethod
     def _as_power_key(key):
@@ -129,15 +131,29 @@ class OptXNumArray(np.ndarray):
             return key
         return None
 
+    def _check_full_length(self):
+        # derived arrays (slices, reductions) inherit the resolver via
+        # __array_finalize__ but their flat indices no longer address
+        # the full layout — refuse loudly instead of resolving wrong
+        if self.ndim != 1 or (self._optx_size is not None
+                              and self.shape[0] != self._optx_size):
+            raise TypeError(
+                "struct power indexing is only valid on the full-length "
+                f"solution vector (layout size {self._optx_size}, this "
+                f"array has shape {self.shape}) — index opt_x_num / "
+                "opt_x_num_unscaled directly")
+
     def __getitem__(self, key):
         pk = self._as_power_key(key)
         if pk is not None and self._optx_resolver is not None:
+            self._check_full_length()
             return self._optx_resolver.get(self, pk)
         return super().__getitem__(key)
 
     def __setitem__(self, key, value):
         pk = self._as_power_key(key)
         if pk is not None and self._optx_resolver is not None:
+            self._check_full_length()
             self._optx_resolver.set(self, pk, value)
             return
         super().__setitem__(key, value)
@@ -151,6 +167,7 @@ class OptXNumArray(np.ndarray):
 def wrap_opt_x(arr, resolver):
     out = np.asarray(arr, dtype=float).view(OptXNumArray)
     out._optx_resolver = resolver
+    out._optx_size = out.shape[0] if out.ndim == 1 else None
     return out
 
 

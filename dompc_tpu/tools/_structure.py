@@ -128,6 +128,9 @@ class NumStruct:
 
     def __getitem__(self, name):
         if isinstance(name, tuple):
+            if name and not isinstance(name[0], str):
+                # positional multi-axis indexing falls through to data
+                return self.data[name]
             name, *rest = name
             blk = self._block(name)
             return blk[tuple(rest)]
@@ -147,6 +150,13 @@ class NumStruct:
         return view.reshape(shape[1], shape[0]).T
 
     def __setitem__(self, name, value):
+        if not isinstance(name, str) and not (
+                isinstance(name, tuple) and name
+                and isinstance(name[0], str)):
+            # positional assignment falls through to the flat data,
+            # mirroring __getitem__
+            self.data[name] = np.asarray(value, dtype=float)
+            return
         if isinstance(name, tuple):
             name, *rest = name
             s = self.spec.slice(name)

@@ -29,8 +29,10 @@ def main():
     # with a FINITE T_R upper bound (reference
     # examples/CSTR_approximate_mpc/template_mpc.py:80) — required for
     # the NN's min-max input scaling; the shared robust template leaves
-    # T_R soft-constrained/unbounded.
+    # T_R soft-constrained/unbounded.  Re-run setup() so the bound also
+    # enters the sampled NLPs (bounds are baked at transcription time).
     mpc.bounds["upper", "_x", "T_R"] = 140.0
+    mpc.setup()
 
     # --- sampling: batched one-step MPC solves over a state box ---------
     sampler_settings = dm.approximateMPC.AMPCSamplerSettings(
