@@ -20,7 +20,8 @@ class Trainer:
     def __init__(self, approx_mpc, settings: TrainerSettings | None = None):
         self.approx_mpc = approx_mpc
         self.settings = settings or TrainerSettings()
-        self.history = {"train_loss": [], "val_loss": [], "lr": []}
+        self.history = {"train_loss": [], "val_loss": [], "lr": [],
+                        "update_norm": []}
 
     def default_training(self, X, U, U_prev=None, seed=0):
         """Train on (x0[, u_prev]) -> u_opt pairs; returns history."""
@@ -53,11 +54,15 @@ class Trainer:
         @jax.jit
         def train_step(params, opt_state, xb, yb, lr_mult):
             loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
-            updates, opt_state = opt.update(
-                jax.tree.map(lambda g: g * lr_mult, grads), opt_state,
-                params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            # plateau LR scheduling: scale the POST-Adam update.  Adam's
+            # step is invariant to uniform gradient scaling (m/sqrt(v)
+            # cancels the factor), so scaling gradients would be a no-op;
+            # scaling the update is exactly learning-rate scaling.
+            updates = jax.tree.map(lambda u: u * lr_mult, updates)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            upd_norm = optax.global_norm(updates)
+            return params, opt_state, loss, upd_norm
 
         # Data-parallel over all visible devices: replicate (params,
         # opt_state), shard each batch's leading axis on a 1-D "data"
@@ -110,18 +115,22 @@ class Trainer:
                 Xtr = Xtr[jnp.asarray(order)]
                 Ytr = Ytr[jnp.asarray(order)]
             ep_loss = 0.0
+            ep_norm = 0.0
             for i in range(steps_per_epoch):
                 xb = Xtr[i * bs:(i + 1) * bs]
                 yb = Ytr[i * bs:(i + 1) * bs]
                 xb, yb = _put(xb, yb)
-                params, opt_state, loss = train_step(
+                params, opt_state, loss, upd_norm = train_step(
                     params, opt_state, xb, yb, jnp.asarray(lr_mult))
                 ep_loss += float(loss)
+                ep_norm += float(upd_norm)
             ep_loss /= steps_per_epoch
+            ep_norm /= steps_per_epoch
             val = float(val_loss_fn(params, Xva, Yva)) if len(va) else ep_loss
             self.history["train_loss"].append(ep_loss)
             self.history["val_loss"].append(val)
             self.history["lr"].append(lr_mult * st.learning_rate)
+            self.history["update_norm"].append(ep_norm)
             if st.scheduler_flag:
                 if val < best_val - 1e-12:
                     best_val = val
@@ -139,3 +148,29 @@ class Trainer:
             np.savez(os.path.join(st.results_dir, "history.npz"),
                      **{k: np.asarray(v) for k, v in self.history.items()})
         return self.history
+
+    def plot_history(self, save_fig=False, fig_name="training_history.png"):
+        """Loss/LR curves over epochs (reference:
+        do_mpc/approximateMPC/_trainer.py:295-382, ``visualize_training``).
+
+        Returns (fig, ax) so callers can restyle; with ``save_fig`` the
+        figure is written to ``settings.results_dir``."""
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(2, 1, sharex=True, figsize=(7, 5))
+        epochs = np.arange(len(self.history["train_loss"]))
+        ax[0].semilogy(epochs, self.history["train_loss"],
+                       label="train loss")
+        if any(v is not None for v in self.history["val_loss"]):
+            ax[0].semilogy(epochs, self.history["val_loss"],
+                           label="val loss")
+        ax[0].set_ylabel("MSE loss")
+        ax[0].legend()
+        ax[1].semilogy(epochs, self.history["lr"], label="learning rate")
+        ax[1].set_ylabel("learning rate")
+        ax[1].set_xlabel("epoch")
+        ax[1].legend()
+        fig.tight_layout()
+        if save_fig:
+            os.makedirs(self.settings.results_dir, exist_ok=True)
+            fig.savefig(os.path.join(self.settings.results_dir, fig_name))
+        return fig, ax

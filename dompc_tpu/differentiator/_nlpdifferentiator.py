@@ -57,13 +57,18 @@ class NLPDifferentiator:
         # dual-magnitude union threshold, relative to the dual scale of
         # THIS solution (a fixed absolute cutoff misclassifies badly
         # scaled problems; reference uses tolerance-relative logic,
-        # _nlpdifferentiator.py:347-394).  The scale is the MEAN |dual|
-        # rather than the max: one strongly-active constraint with a
-        # huge multiplier must not raise the bar enough to deactivate
-        # moderately-active constraints.
+        # _nlpdifferentiator.py:347-394).  The scale is the mean |dual|
+        # over the above-tol subset rather than the max: one strongly-
+        # active constraint with a huge multiplier must not raise the
+        # bar enough to deactivate moderately-active constraints.
         all_d = np.concatenate([np.abs(zl[:len(w)]), np.abs(zu[:len(w)]),
                                 np.abs(lam_h)])
-        dual_scale = max(1.0, float(all_d.mean()) if all_d.size else 0.0)
+        # scale from the ACTIVE subset only: the mean over all duals is
+        # dominated by the near-zero inactive multipliers and would clamp
+        # to 1.0 on any reasonably scaled problem, defeating the
+        # scale-relative intent
+        act_d = all_d[all_d > tol]
+        dual_scale = max(1.0, float(act_d.mean()) if act_d.size else 0.0)
         dual_thr = np.sqrt(tol) * dual_scale
         act_lb = prim_lb | (zl[:len(w)] > dual_thr)
         act_ub = prim_ub | (zu[:len(w)] > dual_thr)

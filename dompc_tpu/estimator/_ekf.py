@@ -15,12 +15,22 @@ import jax.numpy as jnp
 
 from ._base import Estimator
 from ..tools import NumStruct
-from ..ops.integrators import make_ode_integrator
+from ..ops.integrators import (make_adaptive_dae_integrator,
+                               make_ode_integrator)
 
 
 @dataclass
 class EKFSettings:
+    """``abstol/reltol`` are honored by the continuous-time covariance
+    propagation: the augmented [x; vec(P)] ODE integrates with the same
+    adaptive step-doubling Radau IIA the Simulator uses (the reference
+    runs IDAS at 1e-10, do_mpc/estimator/_ekf.py:162-180).  Set
+    ``adaptive=False`` for the fixed ``substeps``-per-t_step stepper."""
     t_step: float | None = None
+    abstol: float = 1e-10
+    reltol: float = 1e-10
+    adaptive: bool = True
+    substeps: int = 4   # fixed mode: substeps; adaptive: initial substeps
 
     def check_for_mandatory_settings(self):
         assert self.t_step is not None, "t_step must be set."
@@ -96,7 +106,24 @@ class EKF(Estimator):
                 dP = A @ P + P @ A.T + Q
                 return jnp.concatenate([f, dP.reshape(-1)])
 
-            step = make_ode_integrator(aug_rhs, method="radau", substeps=4)
+            st = self.settings
+            if st.adaptive:
+                # error-controlled propagation honoring abstol/reltol,
+                # matching the reference's IDAS tolerances
+                # (do_mpc/estimator/_ekf.py:162-180) and this package's
+                # own Simulator behavior
+                adaptive = make_adaptive_dae_integrator(
+                    lambda x, z, args: aug_rhs(x, args),
+                    lambda x, z, args: jnp.zeros((0,), x.dtype),
+                    n_z=0, abstol=st.abstol, reltol=st.reltol,
+                    init_substeps=st.substeps)
+
+                def step(xp, args, h):
+                    x, _ = adaptive(xp, jnp.zeros((0,), xp.dtype), args, h)
+                    return x
+            else:
+                step = make_ode_integrator(aug_rhs, method="radau",
+                                           substeps=st.substeps)
             self._xp_step = jax.jit(
                 lambda xp, u, tvp, p, Q: step(xp, (u, tvp, p, Q),
                                               self.settings.t_step))

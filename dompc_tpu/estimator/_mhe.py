@@ -9,9 +9,10 @@ semantics — optional parameter estimation (``p_est_list`` split, ref
 (ref :1144-1160) — assembled as instance-local vmapped JAX functions and
 solved by the batched interior-point solver.
 
-The estimated parameters couple every stage, so the MHE uses the dense KKT
-path (horizons are short); a bordered-band factorization is a future
-optimization.
+The estimated parameters couple every stage; the structured KKT path
+treats them as a border on the stage-banded system (bordered-band
+factorization, see ``_make_structured_solve`` below) with a dense-KKT
+fallback for layouts the band plan cannot express.
 """
 from __future__ import annotations
 

@@ -776,7 +776,27 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
     import os as _os
     choice = _os.environ.get("DOMPC_TPU_BAND_BACKEND",
                              "lanes" if accel else "scan")
-    pallas_ok = choice == "pallas" and D.dtype == jnp.float32
+    if choice in ("pallas", "pallas_tiled") and D.dtype != jnp.float32:
+        # the fused VMEM kernels are f32-only; fall back to the lanes
+        # sweep (the accelerator default) so the backend pairing stays
+        # consistent, and say so rather than silently downgrading
+        import warnings as _warnings
+        _warnings.warn(
+            f"DOMPC_TPU_BAND_BACKEND={choice} requires float32 inputs "
+            f"(got {D.dtype}); using the 'lanes' sweep instead.")
+        choice = "lanes"
+    if choice == "pallas":
+        # lanes-layout kernel: factor buffer must fit VMEM; long chains
+        # (DIP S=101) route through SPIKE segments or the XLA sweep
+        from .pallas_band import pallas_lanes_fits
+        t_cols = R + 1
+        if not pallas_lanes_fits(S, b, t_cols):
+            import warnings as _warnings
+            _warnings.warn(
+                f"pallas lanes sweep working set too large for VMEM "
+                f"(S={S}, b={b}, t={t_cols}); using the 'lanes' sweep.")
+            choice = "lanes"
+    pallas_ok = choice in ("pallas", "pallas_tiled")
 
     # Partitioned (SPIKE-QR) sweep: the sequential sweep is depth-bound
     # (S stages x b Householder columns); partitioning trades depth for
@@ -805,9 +825,12 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
     def one_solve(rc, rr):
         aug = jnp.concatenate([Bord, rc[..., None]], axis=-1) if R \
             else rc[..., None]
-        if pallas_ok:
+        if choice == "pallas":
+            from .pallas_band import band_solve_pallas
+            Y = band_solve_pallas(D, U, Lo, aug)          # (C,S,b,R+1)
+        elif choice == "pallas_tiled":
             from .pallas_band import band_solve_qr_pallas
-            Y = band_solve_qr_pallas(D, U, Lo, aug)       # (C,S,b,R+1)
+            Y = band_solve_qr_pallas(D, U, Lo, aug)
         elif choice in ("lanes", "lanes_wy"):
             if n_parts:
                 from .batchqr import band_solve_spike
@@ -824,7 +847,7 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
         BtY = jnp.einsum("ckir,ckit->rt", Bord, Y)         # (R, R+1)
         S_r = Root - BtY[:, :R]
         s_rhs = rr - BtY[:, R]
-        if choice in ("lanes", "lanes_wy", "pallas"):
+        if choice in ("lanes", "lanes_wy", "pallas", "pallas_tiled"):
             # batched tiny root solves: pivoted LU serializes on TPU;
             # the batch-in-lanes Householder QR flattens the outer vmap
             # batch into lanes instead (same accelerator argument as the

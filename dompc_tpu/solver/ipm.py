@@ -69,6 +69,19 @@ class IPMSettings:
                                 # near-degenerate directions is O(mu/
                                 # lambda_min) — decaying mu each Newton step
                                 # tracks the true KKT point instead
+    n_refine_kkt: int = 0       # KKT-level iterative-refinement passes per
+                                # Newton step: re-solve the SAME factored
+                                # system with the true step residual (the
+                                # matrix-free hvp/jvp application of the
+                                # full KKT operator) as right-hand side.
+                                # This is the mixed-precision recipe that
+                                # pushes the f32 band-QR path below its
+                                # 1e-4 scaled-KKT noise floor: the
+                                # factorization stays f32, the residual is
+                                # formed at the AD level where cancellation
+                                # is benign (each term is a fresh f32
+                                # rounding of an exact product, not the
+                                # difference of two large factored values)
 
 
 def ipm_settings_from(st, **overrides) -> "IPMSettings":
@@ -466,6 +479,26 @@ def make_ipm_solver(
             # per-iteration cost, which is why throughput mode dropped it)
             step = _cond_any(bad, lambda d=delta: do_solve(d), step)
             prev_delta = jnp.where(bad, delta, prev_delta)
+        # KKT-level iterative refinement: one extra backsolve with the
+        # true residual of the computed step halves the effective solve
+        # error floor (f32 factor + exact-operator residual).  The
+        # residual terms reuse the matrix-free operator application.
+        for _ in range(st.n_refine_kkt):
+            dw_r, dg_r, dh_r = step
+            res_w = (hvp(dw_r) + (sig_w + prev_delta) * dw_r + r_dw
+                     + jgT_mv(w, p, dg_r) + jhT_mv(w, p, dh_r))
+            res_g = (jg_mv(w, p, dw_r) - st.delta_cons * dg_r + r_g) \
+                if m else r_g
+            res_h = (jh_mv(w, p, dw_r) - inv_sig_s * dh_r
+                     - st.delta_cons * dh_r + r_h_mod) \
+                if q else r_h_mod
+            corr = do_solve_rhs(res_w, res_g, res_h, prev_delta)
+            ok_c = (jnp.all(jnp.isfinite(corr[0]))
+                    & jnp.all(jnp.isfinite(corr[1]))
+                    & jnp.all(jnp.isfinite(corr[2])))
+            step = tuple(jnp.where(ok_c, a + c, a)
+                         for a, c in zip(step, corr))
+
         dw, dlam_g, dlam_h = step
         # Non-finite guard (load-bearing when reg_retries == 0, i.e.
         # throughput mode, where no retry rung would catch a failed

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .batchqr import _qr_eliminate_lanes, _tri_solve_lanes
+
 
 def _band_sweep_kernel(Pin_ref, x_ref, F_ref, *, S, b, t):
     """One grid program solves a tile of G chains entirely in VMEM.
@@ -154,6 +156,176 @@ def _band_sweep_kernel(Pin_ref, x_ref, F_ref, *, S, b, t):
     if S > 1:
         jax.lax.fori_loop(0, S - 1, bwd,
                           (x_last, jnp.zeros((G, b, t), f32)))
+
+
+# ---------------------------------------------------------------------------
+# Lanes-layout kernel (the b~13 retile): chains on the 128-lane axis
+# ---------------------------------------------------------------------------
+#
+# Why the tiled kernel above loses at b=13 (BENCH.md: 69 ms vs the XLA
+# lanes sweep's 9 ms at B=128): it puts G=4 chains on sublanes and the
+# packed panel (width 3b+t ~ 51) on lanes — 60% of every lane tile is
+# padding, and each Householder column step is a chain-tiny op.  The XLA
+# lanes formulation (solver/batchqr.py) fixes the layout — batch on lanes,
+# every column step a few wide VPU ops — but XLA cannot keep the 6 MB
+# panel live across `fori_loop` iterations, so each of the S*b column
+# steps round-trips the panel through HBM (~2x off bandwidth-bound,
+# BENCH.md per-iteration profile).  This kernel uses the SAME lanes
+# layout INSIDE Pallas: a 128-chain lane tile's panel and all its stage
+# factors stay resident in VMEM for the whole forward sweep and backward
+# substitution; HBM traffic drops to one streamed read of the packed
+# stages plus the solution write.
+#
+# Layout per lane tile (NT=128 chains): stage panels (b, 3b+t, NT) are
+# streamed in by the (tile, stage) grid; the factor buffer
+# (S-1, b, 3b+t, NT) lives in VMEM scratch (6.8 MB at the flagship's
+# S=21, b=13, t=12); the carry [Dhat|Uhat|rhat] is a (b, 2b+t, NT)
+# scratch.  The elimination/substitution helpers are shared with the XLA
+# lanes sweep (same scaled-Householder math, identical results).
+
+
+def _band_lanes_kernel(Pin_ref, x_ref, F_ref, carry_ref, *, S, b, t):
+    """Grid (n_tiles, S), stage k innermost.  Pin block (1, b, 3b+t, NT);
+    x block (S, b, t, NT) written once per tile at k == S-1."""
+    NT = Pin_ref.shape[-1]
+    f32 = Pin_ref.dtype
+    k = pl.program_id(1)
+    Pk = Pin_ref[0]                                    # (b, 3b+t, NT)
+
+    @pl.when(k == 0)
+    def _init():
+        # carry <- [D_0 | U_0 | r_0] (drop the L slot, zero at stage 0)
+        carry_ref[:, :2 * b, :] = Pk[:, b:3 * b, :]
+        carry_ref[:, 2 * b:, :] = Pk[:, 3 * b:, :]
+
+    @pl.when(k > 0)
+    def _stage():
+        Dhat = carry_ref[:, :b, :]
+        Uhat = carry_ref[:, b:2 * b, :]
+        rhat = carry_ref[:, 2 * b:, :]
+        zero_bb = jnp.zeros((b, b, NT), f32)
+        top = jnp.concatenate([Dhat, Uhat, zero_bb, rhat], axis=1)
+        P = jnp.concatenate([top, Pk], axis=0)         # (2b, 3b+t, NT)
+        P = _qr_eliminate_lanes(P, b)
+        F_ref[pl.ds(k - 1, 1)] = P[None, :b]
+        carry_ref[:, :2 * b, :] = P[b:, b:3 * b, :]
+        carry_ref[:, 2 * b:, :] = P[b:, 3 * b:, :]
+
+    @pl.when(k == S - 1)
+    def _finish():
+        Dhat = carry_ref[:, :b, :]
+        rhat = carry_ref[:, 2 * b:, :]
+        Pf = jnp.concatenate([Dhat, rhat], axis=1)     # (b, b+t, NT)
+        Pf = _qr_eliminate_lanes(Pf, b)
+        x_last = _tri_solve_lanes(Pf[:, :b, :], Pf[:, b:, :])
+        x_ref[S - 1] = x_last
+
+        def bwd(i, carry):
+            x1, x2 = carry
+            kk = S - 2 - i
+            Fk = F_ref[pl.ds(kk, 1)][0]                # (b, 3b+t, NT)
+            rhs_k = (Fk[:, 3 * b:, :]
+                     - jnp.einsum("rcN,ctN->rtN", Fk[:, b:2 * b, :], x1)
+                     - jnp.einsum("rcN,ctN->rtN",
+                                  Fk[:, 2 * b:3 * b, :], x2))
+            x_k = _tri_solve_lanes(Fk[:, :b, :], rhs_k)
+            x_ref[pl.ds(kk, 1)] = x_k[None]
+            return (x_k, x1)
+
+        if S > 1:
+            jax.lax.fori_loop(0, S - 1, bwd,
+                              (x_last, jnp.zeros((b, t, NT), f32)))
+
+
+def _pallas_lanes_vmem_bytes(S, b, t, lane_tile):
+    n_p = 3 * b + t
+    f = max(S - 1, 1) * b * n_p * lane_tile * 4        # factor scratch
+    carry = b * (2 * b + t) * lane_tile * 4
+    pin = 2 * b * n_p * lane_tile * 4                  # double-buffered in
+    x = S * b * t * lane_tile * 4
+    work = 2 * 2 * b * n_p * lane_tile * 4             # elimination panel
+    return f + carry + pin + x + work
+
+
+def pallas_lanes_fits(S, b, t, lane_tile=128,
+                      budget=12 * 1024 * 1024):
+    """Whether the single-kernel lanes sweep's VMEM working set fits.
+
+    Long chains (e.g. DIP S=101) blow the factor scratch; callers should
+    route those through the SPIKE partition (whose short segments fit)
+    or the XLA sweep."""
+    return _pallas_lanes_vmem_bytes(S, b, t, lane_tile) <= budget
+
+
+@functools.partial(jax.jit, static_argnames=("lane_tile", "interpret"))
+def band_solve_qr_pallas_lanes(D, U, Lo, rhs, lane_tile=128,
+                               interpret=False):
+    """Lanes-layout Pallas band sweep.
+
+    D: (N, S, b, b); U, Lo: (N, S-1, b, b); rhs: (N, S, b, t) ->
+    x: (N, S, b, t) float32.  N pads up to ``lane_tile``.
+    """
+    N, S, b, _ = D.shape
+    t = rhs.shape[-1]
+    f32 = jnp.float32
+    n_p = 3 * b + t
+    D, rhs = D.astype(f32), rhs.astype(f32)
+    U, Lo = U.astype(f32), Lo.astype(f32)
+
+    zN = jnp.zeros((N, 1, b, b), f32)
+    L_sh = jnp.concatenate([zN, Lo], axis=1) if S > 1 else zN
+    U_sh = jnp.concatenate([U, zN], axis=1) if S > 1 else zN
+    Pin = jnp.concatenate([L_sh, D, U_sh, rhs], axis=3)  # (N,S,b,n_p)
+    Pin = jnp.moveaxis(Pin, 0, -1)                       # (S,b,n_p,N)
+
+    NT = lane_tile
+    pad = (-N) % NT
+    if pad:
+        # identity padding chains: [L|D|U|r] = [0|I|0|0]
+        eye = jnp.broadcast_to(
+            jnp.pad(jnp.eye(b, dtype=f32), ((0, 0), (b, b + t))),
+            (pad, S, b, n_p))
+        Pin = jnp.concatenate([Pin, jnp.moveaxis(eye, 0, -1)], axis=-1)
+    Np = N + pad
+
+    spec_in = pl.BlockSpec((1, b, n_p, NT),
+                           lambda i, k: (k, 0, 0, i),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((S, b, t, NT),
+                            lambda i, k: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_band_lanes_kernel, S=S, b=b, t=t),
+        out_shape=jax.ShapeDtypeStruct((S, b, t, Np), f32),
+        grid=(Np // NT, S),
+        in_specs=[spec_in],
+        out_specs=spec_out,
+        scratch_shapes=[
+            pltpu.VMEM((max(S - 1, 1), b, n_p, NT), f32),
+            pltpu.VMEM((b, 2 * b + t, NT), f32),
+        ],
+        interpret=interpret,
+    )(Pin)
+    return jnp.moveaxis(out, -1, 0)[:N]                  # (N,S,b,t)
+
+
+@jax.custom_batching.custom_vmap
+def band_solve_pallas(D, U, Lo, rhs):
+    """:func:`band_solve_qr_pallas_lanes` with the same outer-vmap
+    flattening rule as ``batchqr.band_solve``: the solver batch flattens
+    into the chain/lane axis instead of adding a loop dimension."""
+    return band_solve_qr_pallas_lanes(D, U, Lo, rhs)
+
+
+@band_solve_pallas.def_vmap
+def _band_solve_pallas_vmap(axis_size, in_batched, D, U, Lo, rhs):
+    args = []
+    for x, bt in zip((D, U, Lo, rhs), in_batched):
+        if not bt:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        args.append(x.reshape((-1,) + x.shape[2:]))
+    out = band_solve_qr_pallas_lanes(*args)
+    return out.reshape((axis_size, -1) + out.shape[1:]), True
 
 
 @functools.partial(jax.jit, static_argnames=("chains_per_tile",

@@ -129,8 +129,10 @@ class NumStruct:
     def __getitem__(self, name):
         if isinstance(name, tuple):
             if name and not isinstance(name[0], str):
-                # positional multi-axis indexing falls through to data
-                return self.data[name]
+                # positional multi-axis indexing: the reference's numeric
+                # structs are (n, 1) casadi DMs, so 2-axis indexing like
+                # ``struct[0, 0]`` must work — index a column view
+                return self.data.reshape(-1, 1)[name]
             name, *rest = name
             blk = self._block(name)
             return blk[tuple(rest)]
@@ -154,8 +156,13 @@ class NumStruct:
                 isinstance(name, tuple) and name
                 and isinstance(name[0], str)):
             # positional assignment falls through to the flat data,
-            # mirroring __getitem__
-            self.data[name] = np.asarray(value, dtype=float)
+            # mirroring __getitem__ (multi-axis tuples address the
+            # reference's (n, 1) column layout via a reshaped view)
+            if isinstance(name, tuple) and len(name) > 1:
+                self.data.reshape(-1, 1)[name] = np.asarray(
+                    value, dtype=float)
+            else:
+                self.data[name] = np.asarray(value, dtype=float)
             return
         if isinstance(name, tuple):
             name, *rest = name

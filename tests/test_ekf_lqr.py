@@ -57,6 +57,49 @@ def test_triple_tank_ekf():
             assert err < 1e-7, f"{module}{attr}: {err:.2e}"
 
 
+def _run_ekf_steps(abstol, reltol, adaptive=True, substeps=4, n_steps=15):
+    model = triple_tank_model()
+    ekf = dm.estimator.EKF(model)
+    ekf.settings.t_step = 1
+    ekf.settings.adaptive = adaptive
+    ekf.settings.abstol = abstol
+    ekf.settings.reltol = reltol
+    ekf.settings.substeps = substeps
+    p_te = ekf.get_p_template()
+    p_te["p1"] = 2
+    ekf.set_p_fun(lambda t: p_te)
+    ekf.set_tvp_fun(_tank_tvp_fun(ekf.get_tvp_template()))
+    ekf.setup()
+    Q = np.diag(1e-3 * np.ones(model.n_x))
+    R = np.diag(1e-2 * np.ones(model.n_y))
+    ekf.x0 = np.array([1.2, 1.4, 1.8])
+    ekf.set_initial_guess()
+    rng = np.random.default_rng(7)
+    u0 = np.array([[0.0001], [0.0001]])
+    for _ in range(n_steps):
+        y = 2.0 + 0.01 * rng.standard_normal(model.n_y)
+        ekf.make_step(y_next=y, u_next=u0, Q_k=Q, R_k=R)
+    return np.asarray(ekf.data._x)
+
+
+def test_ekf_adaptive_tolerance_sweep():
+    """EKF covariance propagation honors abstol/reltol (reference runs
+    IDAS at 1e-10, do_mpc/estimator/_ekf.py:162-180): tightening the
+    tolerance must converge the trajectory toward a tight reference,
+    monotonically within noise."""
+    x_ref = _run_ekf_steps(1e-12, 1e-12)
+    errs = []
+    for tol in (1e-2, 1e-6, 1e-10):
+        x = _run_ekf_steps(tol, tol)
+        errs.append(np.max(np.abs(x - x_ref)))
+    assert errs[1] <= errs[0] + 1e-14
+    assert errs[2] <= 1e-9, f"tight-tol error {errs[2]:.2e}"
+    assert errs[0] < 1e-2  # loose but sane
+    # legacy fixed-substep mode still works and stays close
+    x_fixed = _run_ekf_steps(1e-10, 1e-10, adaptive=False, substeps=8)
+    assert np.max(np.abs(x_fixed - x_ref)) < 1e-5
+
+
 def test_oscillating_masses_lqr():
     ref = load_golden("results_oscillatingMasses_LQR")
     lm = dm.model.LinearModel("discrete")

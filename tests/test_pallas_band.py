@@ -8,7 +8,10 @@ import jax
 import jax.numpy as jnp
 
 from dompc_tpu.solver.bbd import band_solve_qr_multi
-from dompc_tpu.solver.pallas_band import band_solve_qr_pallas
+from dompc_tpu.solver.batchqr import band_solve_qr_lanes
+from dompc_tpu.solver.pallas_band import (band_solve_qr_pallas,
+                                          band_solve_qr_pallas_lanes,
+                                          pallas_lanes_fits)
 
 
 def _case(N, S, b, t, seed):
@@ -42,6 +45,47 @@ def test_pallas_band_pad_to_tile():
                                interpret=True)
     rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
     assert rel < 5e-5
+
+
+def test_pallas_lanes_kernel_matches_xla_lanes():
+    """The lanes-layout kernel shares the elimination/substitution math
+    with batchqr.band_solve_qr_lanes; results agree to f32 roundoff
+    (bit-identity does not survive XLA's shape-dependent reassociation),
+    and the operator residual stays at solve accuracy."""
+    for (N, S, b, t) in [(3, 5, 4, 2), (2, 1, 3, 1), (5, 13, 7, 3),
+                         (3, 21, 13, 12)]:
+        D, U, Lo, rhs = _case(N, S, b, t, seed=41 + S)
+        ref = band_solve_qr_lanes(D, U, Lo, rhs)
+        got = band_solve_qr_pallas_lanes(D, U, Lo, rhs, lane_tile=8,
+                                         interpret=True)
+        scale = float(jnp.max(jnp.abs(ref)))
+        rel = float(jnp.max(jnp.abs(ref - got))) / scale
+        assert rel < 1e-2, (N, S, b, t, rel)
+        y = jnp.einsum("nkij,nkjt->nkit", D, got)
+        if S > 1:
+            y = y.at[:, :-1].add(
+                jnp.einsum("nkij,nkjt->nkit", U, got[:, 1:]))
+            y = y.at[:, 1:].add(
+                jnp.einsum("nkij,nkjt->nkit", Lo, got[:, :-1]))
+        resid = float(jnp.max(jnp.abs(y - rhs))) \
+            / float(jnp.max(jnp.abs(rhs)))
+        assert resid < 1e-3, (N, S, b, t, resid)
+
+
+def test_pallas_lanes_pad_and_accuracy():
+    # N not divisible by the lane tile; accuracy vs the scan-QR reference
+    D, U, Lo, rhs = _case(5, 7, 5, 2, seed=23)
+    ref = jax.vmap(band_solve_qr_multi)(D, U, Lo, rhs)
+    got = band_solve_qr_pallas_lanes(D, U, Lo, rhs, lane_tile=4,
+                                     interpret=True)
+    rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 5e-5
+
+
+def test_pallas_lanes_vmem_gate():
+    # flagship fits; DIP-length chains must not claim to fit
+    assert pallas_lanes_fits(21, 13, 12)
+    assert not pallas_lanes_fits(101, 13, 12)
 
 
 def test_pallas_band_extreme_scales():
