@@ -91,8 +91,13 @@ def main():
     # f64-accuracy regime is the CPU golden-test path, and robust mode's
     # active-set polish certifies ~1e-9 there.
     tol_tight = float(os.environ.get("DOMPC_BENCH_TOL_TIGHT", "1e-4"))
+    # KKT-level iterative refinement (solver/ipm.py:n_refine_kkt): the
+    # mixed-precision lever for sub-1e-4 f32 tolerances — one extra
+    # backsolve per Newton step against the matrix-free residual
+    tight_refine = int(os.environ.get("DOMPC_BENCH_TIGHT_REFINE", "0"))
     solve_tight = make_batch_solver(mpc, tol=tol_tight, max_iter=max_iter,
-                                    throughput_mode=True)
+                                    throughput_mode=True,
+                                    n_refine_kkt=tight_refine)
     M_t = jnp.full((B,), tol_tight / 10.0, X.dtype)
     sol_t, u0s_t = solve_tight(X_w, W_w, L_w, M_t, sol.zl, sol.zu)
     u0s_t.block_until_ready()
@@ -184,6 +189,7 @@ def main():
         "warm_iterations_tight": round(tight_iters, 1),
         "warm_success_tight": round(tight_success, 3),
         "tol_tight": tol_tight,
+        "tight_refine": tight_refine,
         "rti_solves_per_s": round(rti_solves_per_s, 3),
         "rti_iters": rti_n,
         "rti_vs_warm_first_input_rel_err": round(du_F, 5),

@@ -904,6 +904,42 @@ class MPC(Optimizer, IteratedVariables):
 
         return prepare, solve
 
+    def _nl_cons_z_independent(self):
+        """Probe whether the nl_cons rows are structurally independent of
+        the algebraic variables.
+
+        The instance inequality function receives z through the ``z_s``
+        alias segment (same global columns as the interior ``z`` segment);
+        if its Jacobian columns there vanish at several random points, the
+        constraint expressions do not reference z and the condensed KKT
+        path may Schur-eliminate the z interior exactly.  This unlocks
+        condensation for DAE problems whose path constraints involve only
+        states/inputs (e.g. the double-inverted-pendulum obstacle
+        distance, reference examples/double_inverted_pendulum/
+        template_mpc.py:43-51) — the closure-based Sym layer has no
+        CasADi-style sparsity query, so dependence is established by AD
+        probing; an expression whose z-Jacobian vanishes at three random
+        interior points but not identically would defeat this (none of
+        the reference model families contains such a constraint), and the
+        condensed-vs-band f64 equality test guards the conclusion.
+        """
+        sp = getattr(self, "_struct_parts", None)
+        if sp is None or sp.get("d_h") is None:
+            return True
+        seg = self._seg_sl["z_s"]
+        if seg.stop == seg.start:
+            return True
+        d_h = sp["d_h"]
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            v = jnp.asarray(rng.uniform(0.3, 1.1, sp["d"]))
+            tvp = jnp.asarray(rng.uniform(0.3, 1.1, self.model.n_tvp))
+            p = jnp.asarray(rng.uniform(0.3, 1.1, self.model.n_p))
+            J = np.asarray(d_h(v, tvp, p))
+            if np.any(J[:, seg] != 0.0):
+                return False
+        return True
+
     def _condensation_plan(self):
         """Select the per-instance interior (collocation states/algebraics
         + their residual rows) that stage condensation can eliminate.
@@ -920,7 +956,7 @@ class MPC(Optimizer, IteratedVariables):
         E = self._rows_per_inst
         if st.nl_cons_check_colloc_points and self.n_nl_cons:
             return None
-        if n_z and self.n_nl_cons:
+        if n_z and self.n_nl_cons and not self._nl_cons_z_independent():
             return None         # z referenced by nl_cons rows (z_s segment)
         int_cols = []
         if n_coll:

@@ -358,7 +358,7 @@ def band_solve_qr_lanes_wy(D, U, Lo, rhs):
 # Partitioned (SPIKE-QR) band solve: trade sequential depth for lane batch
 # ---------------------------------------------------------------------------
 
-def band_solve_spike_impl(D, U, Lo, rhs, n_parts):
+def band_solve_spike_impl(D, U, Lo, rhs, n_parts, sweep=None):
     """Block-tridiagonal solve with nested-dissection partitioning.
 
     The sequential QR sweep's wall time is depth-bound (S stages × b
@@ -420,9 +420,13 @@ def band_solve_spike_impl(D, U, Lo, rhs, n_parts):
     aug = aug.at[:, :, L - 1, :, b:2 * b].set(rightC)
     aug = aug.at[:, :, :, :, 2 * b:].set(rhs_seg)
 
+    # the segment sweep dominates (N*P chains of L stages); ``sweep``
+    # lets the caller route it through the Pallas lanes kernel.  The
+    # small reduced separator solve below stays on the XLA sweep.
+    seg_sweep = sweep or band_solve_qr_lanes
     flat = lambda x: x.reshape((N * P,) + x.shape[2:])
-    Y = band_solve_qr_lanes(flat(D_seg), flat(U_seg), flat(Lo_seg),
-                            flat(aug)).reshape(N, P, L, b, 2 * b + t)
+    Y = seg_sweep(flat(D_seg), flat(U_seg), flat(Lo_seg),
+                  flat(aug)).reshape(N, P, L, b, 2 * b + t)
     YL = Y[..., :b]                                # (N, P, L, b, b)
     YR = Y[..., b:2 * b]
     ys = Y[..., 2 * b:]                            # (N, P, L, b, t)
@@ -460,10 +464,20 @@ def band_solve_spike_impl(D, U, Lo, rhs, n_parts):
 
 
 @lru_cache(maxsize=None)
-def _spike_fn(n_parts):
+def _spike_fn(n_parts, use_pallas=False):
+    if use_pallas:
+        from .pallas_band import band_solve_qr_pallas_lanes, _lane_tile
+
+        def seg_sweep(D, U, Lo, rhs):
+            return band_solve_qr_pallas_lanes(D, U, Lo, rhs,
+                                              lane_tile=_lane_tile())
+    else:
+        seg_sweep = None
+
     @jax.custom_batching.custom_vmap
     def f(D, U, Lo, rhs):
-        return band_solve_spike_impl(D, U, Lo, rhs, n_parts)
+        return band_solve_spike_impl(D, U, Lo, rhs, n_parts,
+                                     sweep=seg_sweep)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, D, U, Lo, rhs):  # noqa: ANN001
@@ -472,14 +486,14 @@ def _spike_fn(n_parts):
             if not bt:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             args.append(x.reshape((-1,) + x.shape[2:]))
-        out = band_solve_spike_impl(*args, n_parts)
+        out = band_solve_spike_impl(*args, n_parts, sweep=seg_sweep)
         return out.reshape((axis_size, -1) + out.shape[1:]), True
 
     return f
 
 
-def band_solve_spike(D, U, Lo, rhs, n_parts=3):
+def band_solve_spike(D, U, Lo, rhs, n_parts=3, use_pallas=False):
     """Partitioned sweep with the same outer-vmap flattening rule as
-    :func:`band_solve` (the static ``n_parts`` selects a cached
-    custom-vmap instance)."""
-    return _spike_fn(n_parts)(D, U, Lo, rhs)
+    :func:`band_solve` (the static ``n_parts``/``use_pallas`` select a
+    cached custom-vmap instance)."""
+    return _spike_fn(n_parts, use_pallas)(D, U, Lo, rhs)

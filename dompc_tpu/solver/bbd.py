@@ -774,20 +774,27 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
     # profiled fastest at b ~ 13), 'pallas' = fused VMEM kernel (best at
     # larger b), 'scan' = per-chain XLA QR panels (CPU/f64 reference).
     import os as _os
-    choice = _os.environ.get("DOMPC_TPU_BAND_BACKEND",
-                             "lanes" if accel else "scan")
+    env_choice = _os.environ.get("DOMPC_TPU_BAND_BACKEND", "")
+    # accelerator default: the lanes-layout Pallas kernel (in-loop A/B at
+    # B=128 on the flagship: warm 1367 vs 1288 solves/s, RTI 1812 vs
+    # 1738, cold 208 vs 189 — the VMEM-resident panel beats the XLA
+    # sweep's per-column HBM round trips); 'lanes' remains one env var
+    # away
+    choice = env_choice or ("pallas" if accel else "scan")
     if choice in ("pallas", "pallas_tiled") and D.dtype != jnp.float32:
         # the fused VMEM kernels are f32-only; fall back to the lanes
-        # sweep (the accelerator default) so the backend pairing stays
-        # consistent, and say so rather than silently downgrading
-        import warnings as _warnings
-        _warnings.warn(
-            f"DOMPC_TPU_BAND_BACKEND={choice} requires float32 inputs "
-            f"(got {D.dtype}); using the 'lanes' sweep instead.")
+        # sweep so the backend pairing stays consistent (warn only for an
+        # explicit request — the implicit accel default falls back
+        # silently, e.g. f64 debugging runs on TPU)
+        if env_choice:
+            import warnings as _warnings
+            _warnings.warn(
+                f"DOMPC_TPU_BAND_BACKEND={choice} requires float32 "
+                f"inputs (got {D.dtype}); using the 'lanes' sweep.")
         choice = "lanes"
     if choice == "pallas":
-        # lanes-layout kernel: factor buffer must fit VMEM; long chains
-        # (DIP S=101) route through SPIKE segments or the XLA sweep
+        # per-stage VMEM working set must fit (stage factors stream
+        # through HBM, so this only excludes absurd block sizes)
         from .pallas_band import pallas_lanes_fits
         t_cols = R + 1
         if not pallas_lanes_fits(S, b, t_cols):
@@ -796,7 +803,6 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
                 f"pallas lanes sweep working set too large for VMEM "
                 f"(S={S}, b={b}, t={t_cols}); using the 'lanes' sweep.")
             choice = "lanes"
-    pallas_ok = choice in ("pallas", "pallas_tiled")
 
     # Partitioned (SPIKE-QR) sweep: the sequential sweep is depth-bound
     # (S stages x b Householder columns); partitioning trades depth for
@@ -825,16 +831,17 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
     def one_solve(rc, rr):
         aug = jnp.concatenate([Bord, rc[..., None]], axis=-1) if R \
             else rc[..., None]
-        if choice == "pallas":
+        if choice == "pallas" and not n_parts:
             from .pallas_band import band_solve_pallas
             Y = band_solve_pallas(D, U, Lo, aug)          # (C,S,b,R+1)
         elif choice == "pallas_tiled":
             from .pallas_band import band_solve_qr_pallas
             Y = band_solve_qr_pallas(D, U, Lo, aug)
-        elif choice in ("lanes", "lanes_wy"):
+        elif choice in ("lanes", "lanes_wy", "pallas"):
             if n_parts:
                 from .batchqr import band_solve_spike
-                Y = band_solve_spike(D, U, Lo, aug, n_parts=n_parts)
+                Y = band_solve_spike(D, U, Lo, aug, n_parts=n_parts,
+                                     use_pallas=choice == "pallas")
             else:
                 from .batchqr import band_solve, band_solve_wy
                 Y = (band_solve_wy(D, U, Lo, aug)

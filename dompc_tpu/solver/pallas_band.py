@@ -42,9 +42,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .batchqr import _qr_eliminate_lanes, _tri_solve_lanes
-
-
 def _band_sweep_kernel(Pin_ref, x_ref, F_ref, *, S, b, t):
     """One grid program solves a tile of G chains entirely in VMEM.
 
@@ -184,9 +181,74 @@ def _band_sweep_kernel(Pin_ref, x_ref, F_ref, *, S, b, t):
 # lanes sweep (same scaled-Householder math, identical results).
 
 
-def _band_lanes_kernel(Pin_ref, x_ref, F_ref, carry_ref, *, S, b, t):
-    """Grid (n_tiles, S), stage k innermost.  Pin block (1, b, 3b+t, NT);
-    x block (S, b, t, NT) written once per tile at k == S-1."""
+def _qr_eliminate_lanes_mosaic(P, n_elim):
+    """``batchqr._qr_eliminate_lanes`` with masked-iota indexing instead
+    of ``dynamic_slice`` (unsupported in the Mosaic TPU lowering).  Same
+    math, same results."""
+    m, n_p, NT = P.shape
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (m, NT), 0)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (m, n_p, NT), 1)
+
+    def col_step(j, P):
+        col = jnp.sum(jnp.where(colid == j, P, 0.0), axis=1)   # (m, NT)
+        active = row2 >= j
+        xa = jnp.where(active, col, 0.0)
+        scale = jnp.max(jnp.abs(xa), axis=0, keepdims=True)    # (1, NT)
+        inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
+        xs = xa * inv_scale
+        sigma = jnp.sum(xs * xs, axis=0, keepdims=True)
+        normx = jnp.sqrt(sigma)
+        xj = jnp.sum(jnp.where(row2 == j, xs, 0.0), axis=0,
+                     keepdims=True)
+        sgn = jnp.where(xj >= 0, 1.0, -1.0)
+        alpha = -sgn * normx
+        v = jnp.where(row2 == j, xs - alpha, xs)               # (m, NT)
+        vtv = sigma - xj * xj + (xj - alpha) ** 2
+        beta = jnp.where(vtv > 1e-30, 2.0 / vtv, 0.0)          # (1, NT)
+        w = jnp.sum(v[:, None, :] * P, axis=0)                 # (n_p, NT)
+        return P - (beta * v)[:, None, :] * w[None, :, :]
+
+    return jax.lax.fori_loop(0, n_elim, col_step, P)
+
+
+def _tri_solve_lanes_mosaic(R, C):
+    """Masked-iota upper-triangular solve; R (n, n, NT), C (n, t, NT)."""
+    n, _, NT = R.shape
+    t = C.shape[1]
+    colid2 = jax.lax.broadcasted_iota(jnp.int32, (n, NT), 0)
+    rowR = jax.lax.broadcasted_iota(jnp.int32, (n, n, NT), 0)
+    rowC = jax.lax.broadcasted_iota(jnp.int32, (n, t, NT), 0)
+
+    def row_step(i_rev, x):
+        i = n - 1 - i_rev
+        r_i = jnp.sum(jnp.where(rowR == i, R, 0.0), axis=0)    # (n, NT)
+        above = jnp.where(colid2 > i, r_i, 0.0)
+        acc = jnp.sum(above[:, None, :] * x, axis=0)           # (t, NT)
+        d_i = jnp.sum(jnp.where(colid2 == i, r_i, 0.0), axis=0,
+                      keepdims=True)
+        d_i = jnp.where(jnp.abs(d_i) > 1e-30, d_i, 1e-30)
+        c_i = jnp.sum(jnp.where(rowC == i, C, 0.0), axis=0)    # (t, NT)
+        x_i = (c_i - acc) / d_i
+        return jnp.where(rowC == i, x_i[None, :, :], x)
+
+    return jax.lax.fori_loop(0, n, row_step,
+                             jnp.zeros((n, t, NT), R.dtype))
+
+
+def _bmm_lanes(A, x):
+    """sum_c A[r, c, N] * x[c, t, N] as broadcast-mul + sublane reduce
+    (general lanes-minor ``dot_general`` does not lower well in Mosaic)."""
+    return jnp.sum(A[:, :, None, :] * x[None, :, :, :], axis=1)
+
+
+def _band_fwd_kernel(Pin_ref, F_ref, Cf_ref, carry_ref, *, S, b, t):
+    """Forward elimination; grid (n_tiles, S), stage k innermost.
+
+    Pin block (1, b, 3b+t, NT) streams stage k in; F block
+    (1, b, 3b+t, NT) streams the stage factors out (the BlockSpec
+    index_map does the stage addressing — Mosaic has no dynamic VMEM
+    indexing); Cf (b, 2b+t, NT) carries the final [Dhat|Uhat|rhat] out.
+    """
     NT = Pin_ref.shape[-1]
     f32 = Pin_ref.dtype
     k = pl.program_id(1)
@@ -206,55 +268,61 @@ def _band_lanes_kernel(Pin_ref, x_ref, F_ref, carry_ref, *, S, b, t):
         zero_bb = jnp.zeros((b, b, NT), f32)
         top = jnp.concatenate([Dhat, Uhat, zero_bb, rhat], axis=1)
         P = jnp.concatenate([top, Pk], axis=0)         # (2b, 3b+t, NT)
-        P = _qr_eliminate_lanes(P, b)
-        F_ref[pl.ds(k - 1, 1)] = P[None, :b]
+        P = _qr_eliminate_lanes_mosaic(P, b)
+        F_ref[0] = P[:b]
         carry_ref[:, :2 * b, :] = P[b:, b:3 * b, :]
         carry_ref[:, 2 * b:, :] = P[b:, 3 * b:, :]
 
     @pl.when(k == S - 1)
     def _finish():
-        Dhat = carry_ref[:, :b, :]
-        rhat = carry_ref[:, 2 * b:, :]
+        Cf_ref[...] = carry_ref[...]
+
+
+def _band_bwd_kernel(Cf_ref, F_ref, x_ref, x1_ref, x2_ref, *, S, b, t):
+    """Back substitution; grid (n_tiles, S), j-th step handles stage
+    S-1-j.  F blocks stream in reverse via the BlockSpec index_map."""
+    NT = Cf_ref.shape[-1]
+    f32 = Cf_ref.dtype
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _last():
+        Dhat = Cf_ref[:, :b, :]
+        rhat = Cf_ref[:, 2 * b:, :]
         Pf = jnp.concatenate([Dhat, rhat], axis=1)     # (b, b+t, NT)
-        Pf = _qr_eliminate_lanes(Pf, b)
-        x_last = _tri_solve_lanes(Pf[:, :b, :], Pf[:, b:, :])
-        x_ref[S - 1] = x_last
+        Pf = _qr_eliminate_lanes_mosaic(Pf, b)
+        x_last = _tri_solve_lanes_mosaic(Pf[:, :b, :], Pf[:, b:, :])
+        x_ref[0] = x_last
+        x1_ref[...] = x_last
+        x2_ref[...] = jnp.zeros((b, t, NT), f32)
 
-        def bwd(i, carry):
-            x1, x2 = carry
-            kk = S - 2 - i
-            Fk = F_ref[pl.ds(kk, 1)][0]                # (b, 3b+t, NT)
-            rhs_k = (Fk[:, 3 * b:, :]
-                     - jnp.einsum("rcN,ctN->rtN", Fk[:, b:2 * b, :], x1)
-                     - jnp.einsum("rcN,ctN->rtN",
-                                  Fk[:, 2 * b:3 * b, :], x2))
-            x_k = _tri_solve_lanes(Fk[:, :b, :], rhs_k)
-            x_ref[pl.ds(kk, 1)] = x_k[None]
-            return (x_k, x1)
-
-        if S > 1:
-            jax.lax.fori_loop(0, S - 1, bwd,
-                              (x_last, jnp.zeros((b, t, NT), f32)))
-
-
-def _pallas_lanes_vmem_bytes(S, b, t, lane_tile):
-    n_p = 3 * b + t
-    f = max(S - 1, 1) * b * n_p * lane_tile * 4        # factor scratch
-    carry = b * (2 * b + t) * lane_tile * 4
-    pin = 2 * b * n_p * lane_tile * 4                  # double-buffered in
-    x = S * b * t * lane_tile * 4
-    work = 2 * 2 * b * n_p * lane_tile * 4             # elimination panel
-    return f + carry + pin + x + work
+    @pl.when(j > 0)
+    def _stage():
+        Fk = F_ref[0]                                  # (b, 3b+t, NT)
+        x1 = x1_ref[...]
+        x2 = x2_ref[...]
+        rhs_k = (Fk[:, 3 * b:, :]
+                 - _bmm_lanes(Fk[:, b:2 * b, :], x1)
+                 - _bmm_lanes(Fk[:, 2 * b:3 * b, :], x2))
+        x_k = _tri_solve_lanes_mosaic(Fk[:, :b, :], rhs_k)
+        x_ref[0] = x_k
+        x2_ref[...] = x1
+        x1_ref[...] = x_k
 
 
 def pallas_lanes_fits(S, b, t, lane_tile=128,
                       budget=12 * 1024 * 1024):
-    """Whether the single-kernel lanes sweep's VMEM working set fits.
+    """Whether the lanes sweep's VMEM working set fits.
 
-    Long chains (e.g. DIP S=101) blow the factor scratch; callers should
-    route those through the SPIKE partition (whose short segments fit)
-    or the XLA sweep."""
-    return _pallas_lanes_vmem_bytes(S, b, t, lane_tile) <= budget
+    The two-kernel design streams the stage factors through HBM, so the
+    footprint is per-stage blocks only — independent of S; even DIP-length
+    chains (S=101) fit."""
+    n_p = 3 * b + t
+    per_stage = (2 * 2 * b * n_p         # Pin in + F out, double-buffered
+                 + 2 * 2 * b * n_p       # elimination panel + temps
+                 + b * (2 * b + t)       # carry
+                 + 2 * b * t)            # x1/x2
+    return per_stage * lane_tile * 4 <= budget
 
 
 @functools.partial(jax.jit, static_argnames=("lane_tile", "interpret"))
@@ -287,26 +355,57 @@ def band_solve_qr_pallas_lanes(D, U, Lo, rhs, lane_tile=128,
             (pad, S, b, n_p))
         Pin = jnp.concatenate([Pin, jnp.moveaxis(eye, 0, -1)], axis=-1)
     Np = N + pad
+    SF = max(S - 1, 1)
 
-    spec_in = pl.BlockSpec((1, b, n_p, NT),
-                           lambda i, k: (k, 0, 0, i),
-                           memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((S, b, t, NT),
-                            lambda i, k: (0, 0, 0, i),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_band_lanes_kernel, S=S, b=b, t=t),
-        out_shape=jax.ShapeDtypeStruct((S, b, t, Np), f32),
+    F, Cf = pl.pallas_call(
+        functools.partial(_band_fwd_kernel, S=S, b=b, t=t),
+        out_shape=(jax.ShapeDtypeStruct((SF, b, n_p, Np), f32),
+                   jax.ShapeDtypeStruct((b, 2 * b + t, Np), f32)),
         grid=(Np // NT, S),
-        in_specs=[spec_in],
-        out_specs=spec_out,
-        scratch_shapes=[
-            pltpu.VMEM((max(S - 1, 1), b, n_p, NT), f32),
-            pltpu.VMEM((b, 2 * b + t, NT), f32),
-        ],
+        in_specs=[pl.BlockSpec((1, b, n_p, NT),
+                               lambda i, k: (k, 0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            # k=0 produces no factors; map it onto block 0, which k=1
+            # overwrites before the buffer ever flushes (same block index)
+            pl.BlockSpec((1, b, n_p, NT),
+                         lambda i, k: (jnp.maximum(k - 1, 0), 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 2 * b + t, NT),
+                         lambda i, k: (0, 0, i),
+                         memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((b, 2 * b + t, NT), f32)],
         interpret=interpret,
     )(Pin)
+
+    out = pl.pallas_call(
+        functools.partial(_band_bwd_kernel, S=S, b=b, t=t),
+        out_shape=jax.ShapeDtypeStruct((S, b, t, Np), f32),
+        grid=(Np // NT, S),
+        in_specs=[
+            pl.BlockSpec((b, 2 * b + t, NT),
+                         lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            # stage S-1-j's factors; j=0 needs none (clamp into range)
+            pl.BlockSpec((1, b, n_p, NT),
+                         lambda i, j: (jnp.clip(S - 1 - j, 0, SF - 1),
+                                       0, 0, i),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, b, t, NT),
+                               lambda i, j: (S - 1 - j, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((b, t, NT), f32),
+                        pltpu.VMEM((b, t, NT), f32)],
+        interpret=interpret,
+    )(Cf, F)
     return jnp.moveaxis(out, -1, 0)[:N]                  # (N,S,b,t)
+
+
+def _lane_tile():
+    # read at trace time; 128 fills the lane dim exactly, larger tiles
+    # amortize per-grid-step overhead at the cost of VMEM (A/B knob)
+    import os as _os
+    return int(_os.environ.get("DOMPC_TPU_PALLAS_LANES", "128"))
 
 
 @jax.custom_batching.custom_vmap
@@ -314,7 +413,8 @@ def band_solve_pallas(D, U, Lo, rhs):
     """:func:`band_solve_qr_pallas_lanes` with the same outer-vmap
     flattening rule as ``batchqr.band_solve``: the solver batch flattens
     into the chain/lane axis instead of adding a loop dimension."""
-    return band_solve_qr_pallas_lanes(D, U, Lo, rhs)
+    return band_solve_qr_pallas_lanes(D, U, Lo, rhs,
+                                      lane_tile=_lane_tile())
 
 
 @band_solve_pallas.def_vmap
@@ -324,7 +424,7 @@ def _band_solve_pallas_vmap(axis_size, in_batched, D, U, Lo, rhs):
         if not bt:
             x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
         args.append(x.reshape((-1,) + x.shape[2:]))
-    out = band_solve_qr_pallas_lanes(*args)
+    out = band_solve_qr_pallas_lanes(*args, lane_tile=_lane_tile())
     return out.reshape((axis_size, -1) + out.shape[1:]), True
 
 

@@ -83,9 +83,11 @@ def test_pallas_lanes_pad_and_accuracy():
 
 
 def test_pallas_lanes_vmem_gate():
-    # flagship fits; DIP-length chains must not claim to fit
+    # streaming design: footprint is per-stage, so even DIP-length
+    # chains fit; absurd block sizes must not claim to fit
     assert pallas_lanes_fits(21, 13, 12)
-    assert not pallas_lanes_fits(101, 13, 12)
+    assert pallas_lanes_fits(101, 13, 12)
+    assert not pallas_lanes_fits(21, 400, 400)
 
 
 def test_pallas_band_extreme_scales():
