@@ -44,8 +44,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     tol = float(os.environ.get("DOMPC_BENCH_TOL", "1e-3"))
     max_iter = int(os.environ.get("DOMPC_BENCH_ITERS", "60"))
+    # program-level batch tiling (the B>=256 working-set fix); 0 = off
+    chunk = int(os.environ.get("DOMPC_BENCH_CHUNK", "0")) or None
     solve_batch = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
-                                    throughput_mode=True)
+                                    throughput_mode=True, chunk=chunk)
 
     X = jnp.asarray(x0s)
     W = jnp.asarray(initial_guess_from_x0(mpc, x0s))

@@ -34,13 +34,32 @@ class MPCSettings(ControllerSettings):
     # solver controls (replace IPOPT options; full passthrough mirroring the
     # reference's nlpsol_opts surface, _controllersettings.py:139-175)
     solver_tol: float = 1e-8
+    solver_tol_loop: float | None = None  # barrier-loop exit tolerance:
+                                # set looser than solver_tol (e.g. 1e-5)
+                                # to let the active-set polish carry the
+                                # last decades — the B=1 latency recipe
+                                # (success still certified at solver_tol)
     solver_max_iter: int = 150
     warm_start_mu: float = 1e-4
     solver_mu_init: float = 1e-1       # IPOPT mu_init
+    solver_mu_min_factor: float = 0.1  # barrier floor = solver_tol * this
+                                # (lower for problems whose central path
+                                # sits far from the KKT point, e.g. DIP)
     solver_reg_retries: int = 5        # regularization-ladder length
     solver_use_soc: bool = True        # second-order correction step
     solver_do_polish: bool = True      # active-set Newton polish
     solver_ls_max: int = 25            # max halvings in line search
+    solver_rti_iters: int = 0          # >0: real-time-iteration mode for
+                                # warm make_step calls — exactly this many
+                                # Newton steps at the warm-start barrier,
+                                # no convergence loop (the acados-style
+                                # fixed-latency receding-horizon path; the
+                                # cold first solve still runs the full
+                                # globalized loop).  See solver/ipm.py
+                                # rti_* settings for damping/decay knobs.
+    solver_rti_prox: float = 1e-3      # RTI Levenberg damping
+    solver_rti_step_max: float = 10.0  # RTI trust-region step cap
+    solver_rti_mu_decay: float = 0.1   # RTI per-iteration barrier decay
     kkt_solver: str = "auto"   # 'auto' | 'dense' | 'tridiag'
     # integer-input (MINLP) strategy — reference delegates to BONMIN
     # branch-and-bound (_mpc.py:1317-1324); 'bnb' is the batched

@@ -57,7 +57,7 @@ def initial_guess_from_x0(mpc, x0s):
 
 def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
                       warm=True, throughput_mode=False, rti_iters=0,
-                      **ipm_overrides):
+                      chunk=None, **ipm_overrides):
     """Return ``solve_batch(x0s, w0s, lam0s=None, mu0=None, zl0s=None,
     zu0s=None)``: a jitted vmapped solver over problem instances of the
     given MPC.
@@ -75,6 +75,14 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
     calls (lam0s given): exactly that many Newton steps at fixed mu, no
     convergence loop — the acados-style receding-horizon hot path.  Cold
     calls (lam0s=None) still run the full globalized loop.
+
+    ``chunk`` tiles the batch at the program level: batches larger than
+    this solve as sequential sub-batches of at most ``chunk`` through the
+    same compiled program.  This is the working-set fix for B >= 256 on
+    one v5e (measured r3: 1017 solves/s at B=256 vs 1288 at B=128 — past
+    ~23k instance chains the per-instance KKT blocks spill HBM locality);
+    chunked sub-batches also stop slow elements from stalling the whole
+    batch in lockstep.  Batch sizes must be a multiple of ``chunk``.
     """
     st = mpc.settings
     if throughput_mode or rti_iters:
@@ -149,6 +157,22 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
 
     def solve_batch(x0s, w0s, lam0s=None, mu0=None, zl0s=None, zu0s=None):
         B = x0s.shape[0]
+        if chunk and B > chunk:
+            assert B % chunk == 0, (
+                f"batch {B} must be a multiple of chunk {chunk}")
+            outs = []
+            for i in range(0, B, chunk):
+                sl = slice(i, i + chunk)
+                outs.append(solve_batch(
+                    x0s[sl], w0s[sl],
+                    None if lam0s is None else lam0s[sl],
+                    mu0 if (mu0 is None or jnp.ndim(mu0) == 0)
+                    else mu0[sl],
+                    None if zl0s is None else zl0s[sl],
+                    None if zu0s is None else zu0s[sl]))
+            sols, u0s = zip(*outs)
+            sol = jax.tree.map(lambda *xs: jnp.concatenate(xs), *sols)
+            return sol, jnp.concatenate(u0s)
         if lam0s is None:
             if ipm_settings.rti_iters > 0:
                 # genuine cold program: globalized loop

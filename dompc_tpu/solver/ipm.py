@@ -32,8 +32,25 @@ import jax.numpy as jnp
 @dataclass(frozen=True)
 class IPMSettings:
     tol: float = 1e-8
+    tol_loop: float | None = None   # barrier-loop exit tolerance; when set
+                                # looser than ``tol``, the globalized loop
+                                # stops here and the active-set Newton
+                                # polish (quadratic from ~1e-4) carries
+                                # the point to ``tol`` — the B=1 latency
+                                # recipe: ~half the barrier iterations at
+                                # unchanged final certification (success
+                                # is always judged against ``tol``)
     max_iter: int = 200
     mu_init: float = 1e-1
+    mu_min_factor: float = 0.1  # barrier floor mu_min = tol * this.  The
+                                # central-path point at mu has true KKT
+                                # error ~ c*mu with a problem-dependent c;
+                                # tol/10 suffices for the CSTR family
+                                # (c ~ 1) but DIP N=100 measures c ~ 50,
+                                # leaving certification at tol unreachable
+                                # from the floor — lower the factor for
+                                # such problems (exposed as
+                                # solver_mu_min_factor on MPC settings)
     kappa_eps: float = 10.0     # inner loop: E_mu <= kappa_eps * mu
     kappa_mu: float = 0.2       # linear mu decrease factor
     theta_mu: float = 1.5       # superlinear mu decrease power
@@ -96,12 +113,18 @@ def ipm_settings_from(st, **overrides) -> "IPMSettings":
     """
     kw = dict(
         tol=getattr(st, "solver_tol", 1e-8),
+        tol_loop=getattr(st, "solver_tol_loop", None),
         max_iter=getattr(st, "solver_max_iter", 200),
         mu_init=getattr(st, "solver_mu_init", 1e-1),
         reg_retries=getattr(st, "solver_reg_retries", 5),
         use_soc=getattr(st, "solver_use_soc", True),
         do_polish=getattr(st, "solver_do_polish", True),
         ls_max=getattr(st, "solver_ls_max", 25),
+        mu_min_factor=getattr(st, "solver_mu_min_factor", 0.1),
+        rti_iters=getattr(st, "solver_rti_iters", 0),
+        rti_prox=getattr(st, "solver_rti_prox", 1e-3),
+        rti_step_max=getattr(st, "solver_rti_step_max", 10.0),
+        rti_mu_decay=getattr(st, "solver_rti_mu_decay", 0.1),
     )
     ipopt_map = {
         "ipopt.tol": ("tol", float),
@@ -560,6 +583,13 @@ def make_ipm_solver(
             dx == 0, -1.0, dx), jnp.inf)
         return jnp.minimum(1.0, jnp.min(ratio, initial=jnp.inf))
 
+    def dual_alpha(zl, zu, dzl, dzu, mu):
+        tau = jnp.maximum(st.tau_min, 1.0 - mu)
+        mask_zl = jnp.concatenate([has_lb, jnp.ones((q,), bool)])
+        a_d = max_alpha(zl, dzl, tau * zl, mask_zl)
+        mask_zu = jnp.concatenate([has_ub, jnp.zeros((q,), bool)])
+        return jnp.minimum(a_d, max_alpha(zu, dzu, tau * zu, mask_zu))
+
     def fraction_to_boundary(w, s, dw, ds, zl, zu, dzl, dzu, mu):
         tau = jnp.maximum(st.tau_min, 1.0 - mu)
         dl_w, dl_s = dist_l(w, s)
@@ -569,16 +599,28 @@ def make_ipm_solver(
         if q:
             a_p = jnp.minimum(a_p, max_alpha(s, ds, tau * dl_s,
                                              jnp.ones_like(s, bool)))
-        mask_zl = jnp.concatenate([has_lb, jnp.ones((q,), bool)])
-        a_d = max_alpha(zl, dzl, tau * zl, mask_zl)
-        mask_zu = jnp.concatenate([has_ub, jnp.zeros((q,), bool)])
-        a_d = jnp.minimum(a_d, max_alpha(zu, dzu, tau * zu, mask_zu))
-        return a_p, a_d
+        return a_p, dual_alpha(zl, zu, dzl, dzu, mu)
 
     # -- line search on l1 merit -------------------------------------------
     def ls_trial(w, s, dw, ds, p, mu, alpha, nu, gvhv0=None):
         """Single acceptance test at the given step size.  ``gvhv0``:
-        optional precomputed (g, h) at ``w`` (see point_evals)."""
+        optional precomputed (g, h) at ``w`` (see point_evals).
+
+        KNOWN LIMITATION (diagnosed r4, kept as-is by measurement): near
+        feasibility (vio0 ~ 0) every clause degenerates to "merit did not
+        increase (mod float noise)", and on degenerate problems the
+        barrier merit is flat along near-singular directions — DIP N=100
+        cycles permanently between err 5e-3 and 1e-1 at the barrier
+        floor (SOC steps with tiny fraction-to-boundary alpha pass the
+        merit test while wrecking the dual residual).  Both attempted
+        fixes measured WORSE elsewhere and were reverted: (a) a KKT-blow-
+        up veto on acceptance broke the DIP warm sequence differently
+        (err 15 after 60 iters) while adding a KKT evaluation per line-
+        search trip; (b) scaling the dual-response part of the step by
+        the primal alpha degraded RTI closed-loop quality (F err 0.094 >
+        0.06 gate) and diverged DIP warm starts.  The real cure is an
+        IPOPT-style filter + feasibility restoration, noted as future
+        work; every other reference benchmark converges as-is."""
         phi0 = barrier_value(w, s, p, mu)
         gv, hv = gvhv0 if gvhv0 is not None else eval_all(w, p)
         vio0 = constraint_violation(gv, hv, s)
@@ -648,6 +690,8 @@ def make_ipm_solver(
         return alpha
 
     # -- main loop ----------------------------------------------------------
+    loop_tol = st.tol if st.tol_loop is None else max(st.tol_loop, st.tol)
+
     def solver_loop(state: IPMState, p):
         def cond(stt: IPMState):
             return (~stt.converged) & (stt.it < st.max_iter)
@@ -662,7 +706,7 @@ def make_ipm_solver(
             res0 = kkt_residuals(w, s, lam, zl, zu, p, pre=pre)
             err_mu = err_from(res0, mu)
             err_0 = err_from(res0, 0.0)
-            converged = err_0 <= st.tol
+            converged = err_0 <= loop_tol
 
             # NOTE: wrapping everything below in a _cond_any "skip when
             # the whole batch is converged" was built and measured: the
@@ -675,7 +719,7 @@ def make_ipm_solver(
                 shrink = err_mu <= st.kappa_eps * mu
                 mu_new = jnp.where(
                     shrink,
-                    jnp.maximum(st.tol / 10.0,
+                    jnp.maximum(st.tol * st.mu_min_factor,
                                 jnp.minimum(st.kappa_mu * mu,
                                             mu ** st.theta_mu)),
                     mu)
@@ -761,6 +805,13 @@ def make_ipm_solver(
                 w_n = w + alpha * dw
                 s_n = s + alpha * ds
                 lam_n = lam + alpha * dlam
+                # NOTE (measured): scaling the dual RESPONSE part by the
+                # primal alpha ("principled" linearization of the taken
+                # step) was built and reverted — it degraded both DIP
+                # (warm diverged 5e3) and the RTI closed-loop quality
+                # (F err 0.094 > 0.06 gate).  The standard full dual step
+                # with its own fraction-to-boundary a_d (IPOPT's alpha_z)
+                # stays.
                 zl_n = zl + a_d * dzl
                 zu_n = zu + a_d * dzu
                 # keep duals sane relative to the barrier parameter
@@ -1035,11 +1086,15 @@ def make_ipm_solver(
                 zu=final.zu, f=f(final.w, p), kkt_err=final.kkt_err,
                 iterations=final.it, success=final.converged)
         final = solver_loop(state, p)
+        # a loose tol_loop exit must never certify success at the tight
+        # tol on its own (the polish below, or nothing, closes the gap)
+        strict = final.converged if loop_tol <= st.tol \
+            else (final.converged & (final.kkt_err <= st.tol))
         if not st.do_polish:
             return IPMSolution(
                 w=final.w, s=final.s, lam=final.lam, zl=final.zl,
                 zu=final.zu, f=f(final.w, p), kkt_err=final.kkt_err,
-                iterations=final.it, success=final.converged)
+                iterations=final.it, success=strict)
         # polish and keep whichever point has the smaller true KKT error
         err_ipm = kkt_error(final.w, final.s, final.lam, final.zl,
                             final.zu, p, 0.0)
@@ -1063,6 +1118,6 @@ def make_ipm_solver(
         return IPMSolution(
             w=w_f, s=s_f, lam=lam_f, zl=zl_f, zu=zu_f,
             f=f(w_f, p), kkt_err=err_f, iterations=final.it,
-            success=final.converged | (err_f <= st.tol))
+            success=strict | (err_f <= st.tol))
 
     return solve

@@ -39,19 +39,23 @@ def run_mpc_loop(name, model, mpc, sim, x0, n_steps=8):
     t0 = time.perf_counter()
     u0 = mpc.make_step(xk)
     first = time.perf_counter() - t0
-    walls = []
+    walls, iters, succ = [], [], []
     for _ in range(n_steps - 1):
         y = sim.make_step(u0)
         xk = y.reshape(-1)
         t0 = time.perf_counter()
         u0 = mpc.make_step(xk)
         walls.append(time.perf_counter() - t0)
+        iters.append(mpc.solver_stats["iter_count"])
+        succ.append(mpc.solver_stats["success"])
     warm = walls[2:] if len(walls) > 4 else walls
     print(json.dumps({
         "config": name,
         "warm_ms_per_step": round(1e3 * float(np.mean(warm)), 2),
         "warm_ms_min": round(1e3 * float(np.min(warm)), 2),
         "first_step_s": round(first, 1),
+        "iters": iters,
+        "success": succ,
         "n_warm_steps": len(warm)}), flush=True)
 
 
@@ -70,10 +74,21 @@ def main():
     tol = float(os.environ.get("DOMPC_LAT_TOL", "1e-4"))
     only = set(sys.argv[1:])
 
+    rti = int(os.environ.get("DOMPC_LAT_RTI", "0"))
+    tol_loop = os.environ.get("DOMPC_LAT_TOL_LOOP")
+
     def tune(mpc):
         # builders run setup(); rebuild the solver at the bench tol
         mpc.settings.solver_tol = tol
         mpc.settings.solver_max_iter = 60
+        if tol_loop:
+            # loose barrier-loop exit + polish certification (B=1
+            # latency recipe)
+            mpc.settings.solver_tol_loop = float(tol_loop)
+        if rti:
+            # fixed-iteration warm steps at the warm barrier floor
+            mpc.settings.solver_rti_iters = rti
+            mpc.settings.warm_start_mu = tol / 10.0
         mpc._create_solver()
         return mpc
 
