@@ -36,6 +36,31 @@ def test_batched_solves_match_sequential():
                                    u_seq.reshape(-1), atol=1e-6)
 
 
+def test_chunked_batch_matches_unchunked():
+    """Program-level batch tiling (chunk=) must be arithmetically
+    invisible: same solutions, cold and warm paths."""
+    mpc, model = _mpc()
+    rng = np.random.default_rng(3)
+    B = 8
+    x0s = rng.uniform(-0.5, 0.5, size=(B, 4))
+    mpc.x0 = x0s[0]
+    mpc.set_initial_guess()
+    w0s = jnp.asarray(np.tile(mpc.opt_x_num.copy(), (B, 1)))
+    x0s = jnp.asarray(x0s)
+    full = make_batch_solver(mpc, tol=1e-8, max_iter=80)
+    tiled = make_batch_solver(mpc, tol=1e-8, max_iter=80, chunk=4)
+    sol_f, u_f = full(x0s, w0s)
+    sol_c, u_c = tiled(x0s, w0s)
+    np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_c))
+    # warm path with the previous solution
+    sol_f2, u_f2 = full(x0s * 1.001, sol_f.w, sol_f.lam,
+                        jnp.full((B,), 1e-4), sol_f.zl, sol_f.zu)
+    sol_c2, u_c2 = tiled(x0s * 1.001, sol_c.w, sol_c.lam,
+                         jnp.full((B,), 1e-4), sol_c.zl, sol_c.zu)
+    np.testing.assert_array_equal(np.asarray(u_f2), np.asarray(u_c2))
+    assert bool(jnp.all(sol_c2.success))
+
+
 def test_sharded_solver_8_devices():
     assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
     mpc, model = _mpc()
