@@ -1115,6 +1115,11 @@ def make_ipm_solver(
         zl_f = sel(final.zl, zl_p)
         zu_f = sel(final.zu, zu_p)
         err_f = jnp.where(better, err_pol, err_ipm)
+        # (A second polish pass from the first polished point was built
+        # and measured: zero error improvement — the polish's ~1e-6
+        # fixed point is its own numerical floor from a loose exit, not
+        # active-set misidentification — at +50% wall.  Removed; the
+        # loose-loop latency recipe certifies at solver_tol 1e-6.)
         return IPMSolution(
             w=w_f, s=s_f, lam=lam_f, zl=zl_f, zu=zu_f,
             f=f(w_f, p), kkt_err=err_f, iterations=final.it,

@@ -39,7 +39,7 @@ def run_mpc_loop(name, model, mpc, sim, x0, n_steps=8):
     t0 = time.perf_counter()
     u0 = mpc.make_step(xk)
     first = time.perf_counter() - t0
-    walls, iters, succ = [], [], []
+    walls, iters, succ, kkts = [], [], [], []
     for _ in range(n_steps - 1):
         y = sim.make_step(u0)
         xk = y.reshape(-1)
@@ -48,6 +48,7 @@ def run_mpc_loop(name, model, mpc, sim, x0, n_steps=8):
         walls.append(time.perf_counter() - t0)
         iters.append(mpc.solver_stats["iter_count"])
         succ.append(mpc.solver_stats["success"])
+        kkts.append(float(mpc.solver_stats.get("kkt_err", float("nan"))))
     warm = walls[2:] if len(walls) > 4 else walls
     print(json.dumps({
         "config": name,
@@ -56,6 +57,7 @@ def run_mpc_loop(name, model, mpc, sim, x0, n_steps=8):
         "first_step_s": round(first, 1),
         "iters": iters,
         "success": succ,
+        "kkt_err": [f"{k:.1e}" for k in kkts],
         "n_warm_steps": len(warm)}), flush=True)
 
 
