@@ -57,7 +57,11 @@ class Graphics:
                 kwargs.setdefault("drawstyle", "steps-post")
             handles = line["axis"].plot(t, arr, **kwargs)
             line["result_handles"] = list(handles)
-            self.result_lines[(vt, vn)] = list(handles)
+            # finest-key storage: (vt, vn, element) -> [handle]; any
+            # prefix (e.g. just (vt, vn) or (vt,)) queries the flattened
+            # union (reference result_lines power indexing)
+            for i, h in enumerate(handles):
+                self.result_lines[(vt, vn, i)] = [h]
 
     def clear_line(self, line, key):
         for h in line[key]:
@@ -102,8 +106,10 @@ class Graphics:
                         **({"color": color} if color else {}),
                         **step_style, **kwargs)
                     handles += list(hs)
+                    # (vt, vn, element, scenario) -> handles; prefixes
+                    # query flattened unions (reference pred_lines)
+                    self.pred_lines[(vt, vn, i, s)] = list(hs)
             line["pred_handles"] = handles
-            self.pred_lines[(vt, vn)] = handles
 
 
 def default_plot(data, states_list=None, dense_states_list=None,

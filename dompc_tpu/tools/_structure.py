@@ -222,7 +222,12 @@ class FieldAccessor:
 
 class Structure:
     """Nested power-index container used by Graphics
-    (reference: do_mpc/tools/_structure.py:15-192): a minimal dict/list hybrid."""
+    (reference: do_mpc/tools/_structure.py:15-192): values live at the
+    finest keys, and any key prefix queries the flattened union —
+    mirroring the reference's populated-Structure power indexing, e.g.
+    ``graphics.pred_lines['_x', 'C_a']`` collects every scenario line of
+    every element of that state, ``['_x', 'C_a', 0]`` just element 0's,
+    and ``['_x']`` all state lines."""
 
     def __init__(self):
         self._data = {}
@@ -238,11 +243,29 @@ class Structure:
         exact = self._data.get(key)
         if exact is not None:
             return exact
-        # prefix query returns list of matching values
-        out = [v for k, v in self._data.items() if k[:len(key)] == key]
+        # prefix query: flattened union over all finer keys (list values
+        # concatenate, reference-style)
+        out = []
+        for k, v in self._data.items():
+            if k[:len(key)] == key:
+                out.extend(v if isinstance(v, list) else [v])
         if not out:
             raise KeyError(key)
         return out
+
+    @property
+    def full(self):
+        """Every stored value, flattened (reference ``Structure.full``)."""
+        out = []
+        for v in self._data.values():
+            out.extend(v if isinstance(v, list) else [v])
+        return out
+
+    def __contains__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        return key in self._data or any(
+            k[:len(key)] == key for k in self._data)
 
     def keys(self):
         return self._data.keys()

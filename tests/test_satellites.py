@@ -199,5 +199,21 @@ def test_graphics_smoke(tmp_path):
     g.plot_results()
     g.plot_predictions(t_ind=-1)
     g.reset_axes()
+
+    # reference-style power indexing over the populated line structures
+    # (do_mpc/graphics.py:40-240): prefix queries flatten, finest keys
+    # select element/scenario, and handles can be restyled
+    x_lines = g.result_lines["_x", "x"]
+    assert len(x_lines) == 4                       # one per state element
+    assert g.result_lines["_x", "x", 0] == [x_lines[0]]
+    assert len(g.result_lines["_x"]) == 4
+    assert len(g.result_lines.full) == 5           # + the input line
+    preds_x0 = g.pred_lines["_x", "x", 0]
+    assert len(preds_x0) >= 1                      # all scenarios of el 0
+    assert set(preds_x0) <= set(g.pred_lines["_x", "x"])
+    for h in g.pred_lines["_x"]:
+        h.set_alpha(0.5)                           # restyling works
+    assert ("_x", "x") in g.result_lines
+
     fig2, axes2, g2 = dm.graphics.default_plot(sim.data)
     plt.close("all")
