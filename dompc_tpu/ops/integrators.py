@@ -73,12 +73,13 @@ def make_radau_stage_solver(f, g, n_z, deg=3, newton_iters=8,
 
     def stage_residual(xs_flat, x0, z_flat, args, h):
         nx = x0.shape[0]
+        Cd = C.astype(x0.dtype)   # keep f32 states f32 under enabled x64
         X = xs_flat.reshape(s, nx)               # stages 1..s
         Z = z_flat.reshape(s, n_z) if n_z else jnp.zeros((s, 0), x0.dtype)
         Xall = jnp.concatenate([x0[None, :], X], axis=0)   # (s+1, nx)
         res = []
         for j in range(1, s + 1):
-            xp_j = jnp.einsum("r,rn->n", C[:, j], Xall)     # poly derivative
+            xp_j = jnp.einsum("r,rn->n", Cd[:, j], Xall)    # poly derivative
             f_j = f(X[j - 1], Z[j - 1], args)
             res.append(h * f_j - xp_j)
         for j in range(1, s + 1):
@@ -110,7 +111,8 @@ def make_radau_stage_solver(f, g, n_z, deg=3, newton_iters=8,
             _, it, err = carry
             return jnp.logical_and(it < newton_iters, err > newton_tol)
 
-        y, _, _ = jax.lax.while_loop(cond, body, (y, 0, jnp.inf))
+        y, _, _ = jax.lax.while_loop(
+            cond, body, (y, 0, jnp.asarray(jnp.inf, y.dtype)))
         X_end = y[(s - 1) * nx: s * nx]
         Z_end = y[s * nx + (s - 1) * n_z:] if n_z else z0
         return X_end, Z_end
@@ -163,6 +165,13 @@ def make_adaptive_dae_integrator(f, g, n_z, deg=3, abstol=1e-10,
 
     def step(x0, z0, args, h_total):
         dtype = x0.dtype
+        # dtype-achievable tolerance floor: asking float32 for 1e-10
+        # leaves the step-doubling error estimate saturated at rounding
+        # noise, so steps shrink toward max_steps and the trajectory
+        # degrades (caught by scripts/tpu_smoke.py); clamp to ~50 eps
+        eps = jnp.finfo(dtype).eps
+        abstol_e = jnp.maximum(jnp.asarray(abstol, dtype), 50 * eps)
+        reltol_e = jnp.maximum(jnp.asarray(reltol, dtype), 50 * eps)
 
         def body(carry):
             t, x, z, h, count = carry
@@ -170,7 +179,8 @@ def make_adaptive_dae_integrator(f, g, n_z, deg=3, abstol=1e-10,
             x1, z1 = newton_solve(x, z, args, h_eff)       # single step
             xh, zh = newton_solve(x, z, args, 0.5 * h_eff)  # two half steps
             x2, z2 = newton_solve(xh, zh, args, 0.5 * h_eff)
-            scale = abstol + reltol * jnp.maximum(jnp.abs(x), jnp.abs(x2))
+            scale = abstol_e + reltol_e * jnp.maximum(jnp.abs(x),
+                                                      jnp.abs(x2))
             err = jnp.max(jnp.abs(x2 - x1) / scale) / rich
             err = jnp.where(jnp.isfinite(err), err, jnp.inf)
             accept = err <= 1.0
@@ -211,5 +221,6 @@ def newton_rootfind(g, z0, args, iters=20, tol=1e-12):
         _, it, err = carry
         return jnp.logical_and(it < iters, err > tol)
 
-    z, _, _ = jax.lax.while_loop(cond, body, (z0, 0, jnp.inf))
+    z, _, _ = jax.lax.while_loop(
+        cond, body, (z0, 0, jnp.asarray(jnp.inf, z0.dtype)))
     return z

@@ -68,6 +68,37 @@ def test_cstr_simulator_golden():
     assert err < 1e-7, f"relative state error vs CVODES: {err:.3e}"
 
 
+def test_adaptive_integrator_f32_tolerance_floor():
+    """Requesting abstol/reltol below float32 resolution must not degrade
+    the trajectory (r4 regression: the step-doubling error estimate
+    saturates at rounding noise, steps shrink toward max_steps, and the
+    closed loop drifts — caught by scripts/tpu_smoke.py).  The integrator
+    clamps tolerances to ~50 eps of the dtype."""
+    import jax.numpy as jnp
+    from dompc_tpu.ops.integrators import make_adaptive_dae_integrator
+
+    def f(x, z, args):
+        # stiff-ish linear test system with known solution
+        return jnp.asarray([-50.0 * x[0], x[0] - 0.5 * x[1]])
+
+    def g(x, z, args):
+        return jnp.zeros((0,), x.dtype)
+
+    step = make_adaptive_dae_integrator(f, g, n_z=0, abstol=1e-10,
+                                        reltol=1e-10)
+    x0 = np.array([1.0, 0.0])
+    for dtype, tol in ((np.float64, 1e-8), (np.float32, 2e-4)):
+        x = jnp.asarray(x0, dtype)
+        z = jnp.zeros((0,), dtype)
+        xf, _ = step(x, z, None, 0.5)
+        exact0 = np.exp(-50.0 * 0.5)
+        # x1' = x0 - 0.5 x1 -> analytic via integrating factor
+        exact1 = (np.exp(-0.5 * 0.5) - np.exp(-50.0 * 0.5)) / 49.5
+        assert np.all(np.isfinite(np.asarray(xf)))
+        assert abs(float(xf[0]) - exact0) < tol, (dtype, float(xf[0]))
+        assert abs(float(xf[1]) - exact1) < tol, (dtype, float(xf[1]))
+
+
 def test_rk4_vs_radau_nonstiff():
     m = systems.lotka_volterra_model()
     sim1 = dm.Simulator(m)
