@@ -46,6 +46,14 @@ def test_plateau_scheduler_shrinks_updates():
     U = rng.uniform(-0.5, 0.5, (256, 1))
     hist = trainer.default_training(X, U, U_prev=U_prev, seed=0)
 
+    # reference-parity history plot (visualize_training)
+    import matplotlib
+    matplotlib.use("Agg")
+    fig, ax = trainer.plot_history()
+    assert len(ax) == 2
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
     lr = np.asarray(hist["lr"])
     norms = np.asarray(hist["update_norm"])
     assert lr[-1] < 0.2 * lr[0], "scheduler never engaged"
