@@ -164,6 +164,14 @@ class IPMState(NamedTuple):
     converged: jnp.ndarray
     kkt_err: jnp.ndarray
     prox: jnp.ndarray     # adaptive Levenberg damping (trust-region-like)
+    # best-iterate watchdog: a non-converged loop exit (max_iter) must
+    # return the best point SEEN, not the last one — on hard problems the
+    # final iterate can sit orders of magnitude above earlier ones
+    # (measured: a DIP warm step wandered to err 59 after having visited
+    # 4e-3).  Converged runs are unaffected (the frozen state is the
+    # best).  Tracked primal-dual tuple + its true (mu=0) KKT error.
+    best: tuple = ()
+    best_err: jnp.ndarray = None
 
 
 class IPMSolution(NamedTuple):
@@ -860,12 +868,19 @@ def make_ipm_solver(
             zl_n = frz(zl, zl_t2)
             zu_n = frz(zu, zu_t2)
             mu_n = frz(mu, mu_t2)
+            # watchdog: remember the best-seen iterate by true KKT error
+            # (err_0 evaluates the CURRENT state, computed above anyway)
+            improve = err_0 < stt.best_err
+            best_n = tuple(jnp.where(improve, cur, old)
+                           for cur, old in zip((w, s, lam, zl, zu),
+                                               stt.best))
+            best_err_n = jnp.where(improve, err_0, stt.best_err)
             return IPMState(
                 w=w_n, s=s_n, lam=lam_n, zl=zl_n, zu=zu_n, mu=mu_n,
                 it=stt.it + 1,
                 converged=converged,
                 kkt_err=err_0,
-                prox=prox_n)
+                prox=prox_n, best=best_n, best_err=best_err_n)
 
         return jax.lax.while_loop(cond, body, state)
 
@@ -911,7 +926,8 @@ def make_ipm_solver(
             return IPMState(w=w_n, s=s_n, lam=lam_n, zl=zl_n, zu=zu_n,
                             mu=stt.mu, it=stt.it + 1,
                             converged=stt.converged,
-                            kkt_err=stt.kkt_err, prox=stt.prox)
+                            kkt_err=stt.kkt_err, prox=stt.prox,
+                            best=stt.best, best_err=stt.best_err)
 
         final = jax.lax.fori_loop(0, st.rti_iters, body, state)
         err = kkt_error(final.w, final.s, final.lam, final.zl, final.zu,
@@ -971,7 +987,9 @@ def make_ipm_solver(
         return IPMState(w=w, s=s, lam=lam, zl=zl, zu=zu, mu=mu,
                         it=jnp.asarray(0), converged=jnp.asarray(False),
                         kkt_err=jnp.asarray(jnp.inf, dtype),
-                        prox=jnp.asarray(0.0, dtype))
+                        prox=jnp.asarray(0.0, dtype),
+                        best=(w, s, lam, zl, zu),
+                        best_err=jnp.asarray(jnp.inf, dtype))
 
     # -- active-set Newton polish ------------------------------------------
     # The barrier loop identifies the active set and gets within ~1e-3..1e-5;
@@ -1091,13 +1109,33 @@ def make_ipm_solver(
         strict = final.converged if loop_tol <= st.tol \
             else (final.converged & (final.kkt_err <= st.tol))
         if not st.do_polish:
+            # watchdog (no extra evals): if an earlier iterate beat the
+            # last checked error, return it instead of the final state
+            wd = final.best_err < final.kkt_err
+            bw, bs, blam, bzl, bzu = final.best
+            w_r = jnp.where(wd, bw, final.w)
+            s_r = jnp.where(wd, bs, final.s)
+            lam_r = jnp.where(wd, blam, final.lam)
+            zl_r = jnp.where(wd, bzl, final.zl)
+            zu_r = jnp.where(wd, bzu, final.zu)
+            err_r = jnp.where(wd, final.best_err, final.kkt_err)
             return IPMSolution(
-                w=final.w, s=final.s, lam=final.lam, zl=final.zl,
-                zu=final.zu, f=f(final.w, p), kkt_err=final.kkt_err,
-                iterations=final.it, success=strict)
-        # polish and keep whichever point has the smaller true KKT error
-        err_ipm = kkt_error(final.w, final.s, final.lam, final.zl,
+                w=w_r, s=s_r, lam=lam_r, zl=zl_r,
+                zu=zu_r, f=f(w_r, p), kkt_err=err_r,
+                iterations=final.it, success=strict | (err_r <= st.tol))
+        # watchdog: polish whichever of (final state, best-seen iterate)
+        # has the smaller true KKT error
+        err_fin = kkt_error(final.w, final.s, final.lam, final.zl,
                             final.zu, p, 0.0)
+        wd = final.best_err < err_fin
+        bw, bs, blam, bzl, bzu = final.best
+        w_i = jnp.where(wd, bw, final.w)
+        s_i = jnp.where(wd, bs, final.s)
+        lam_i = jnp.where(wd, blam, final.lam)
+        zl_i = jnp.where(wd, bzl, final.zl)
+        zu_i = jnp.where(wd, bzu, final.zu)
+        err_ipm = jnp.where(wd, final.best_err, err_fin)
+        final = final._replace(w=w_i, s=s_i, lam=lam_i, zl=zl_i, zu=zu_i)
         w_p, s_p, lam_p, zl_p, zu_p = polish(
             final.w, final.s, final.lam, final.zl, final.zu, p)
         err_pol = kkt_error(w_p, s_p, lam_p, zl_p, zu_p, p, 0.0)
