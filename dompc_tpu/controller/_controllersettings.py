@@ -61,6 +61,13 @@ class MPCSettings(ControllerSettings):
     solver_rti_step_max: float = 10.0  # RTI trust-region step cap
     solver_rti_mu_decay: float = 0.1   # RTI per-iteration barrier decay
     kkt_solver: str = "auto"   # 'auto' | 'dense' | 'tridiag'
+    condense_z: str = "auto"   # 'auto': AD-probe whether nl_cons depend
+                               # on algebraic vars (z-independent ->
+                               # Schur-eliminate the z interior);
+                               # 'never': always keep the conservative
+                               # uncondensed band (use for piecewise
+                               # constraints whose z-branch could be
+                               # inactive on the probe domain)
     # integer-input (MINLP) strategy — reference delegates to BONMIN
     # branch-and-bound (_mpc.py:1317-1324); 'bnb' is the batched
     # branch-and-bound (solver/minlp.py), 'round' rounds the relaxation

@@ -923,6 +923,8 @@ class MPC(Optimizer, IteratedVariables):
         the reference model families contains such a constraint), and the
         condensed-vs-band f64 equality test guards the conclusion.
         """
+        if getattr(self.settings, "condense_z", "auto") == "never":
+            return False
         sp = getattr(self, "_struct_parts", None)
         if sp is None or sp.get("d_h") is None:
             return True
@@ -931,9 +933,15 @@ class MPC(Optimizer, IteratedVariables):
             return True
         d_h = sp["d_h"]
         rng = np.random.default_rng(0)
-        for _ in range(3):
-            v = jnp.asarray(rng.uniform(0.3, 1.1, sp["d"]))
-            tvp = jnp.asarray(rng.uniform(0.3, 1.1, self.model.n_tvp))
+        # probe a signed domain wide enough to land on both sides of any
+        # reasonable piecewise breakpoint, plus points near the current
+        # initial guess (scaled variables are O(1)); condense_z='never'
+        # remains the explicit escape hatch for constraints whose
+        # z-branch is inactive everywhere the probe samples
+        domains = [(-1.9, -0.2), (0.3, 1.1), (-3.0, 3.0), (-0.05, 0.05)]
+        for lo, hi in domains + [(0.3, 1.1)] * 2:
+            v = jnp.asarray(rng.uniform(lo, hi, sp["d"]))
+            tvp = jnp.asarray(rng.uniform(lo, hi, self.model.n_tvp))
             p = jnp.asarray(rng.uniform(0.3, 1.1, self.model.n_p))
             J = np.asarray(d_h(v, tvp, p))
             if np.any(J[:, seg] != 0.0):

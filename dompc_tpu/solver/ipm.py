@@ -1110,8 +1110,12 @@ def make_ipm_solver(
             else (final.converged & (final.kkt_err <= st.tol))
         if not st.do_polish:
             # watchdog (no extra evals): if an earlier iterate beat the
-            # last checked error, return it instead of the final state
-            wd = final.best_err < final.kkt_err
+            # last checked error, return it instead of the final state.
+            # <= so ties return the EVALUATED best tuple: kkt_err is the
+            # error of the state the last body evaluated, while final.w
+            # is the subsequently stepped point whose error was never
+            # checked on a max_iter exit
+            wd = final.best_err <= final.kkt_err
             bw, bs, blam, bzl, bzu = final.best
             w_r = jnp.where(wd, bw, final.w)
             s_r = jnp.where(wd, bs, final.s)

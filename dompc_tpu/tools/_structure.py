@@ -159,6 +159,10 @@ class NumStruct:
             # mirroring __getitem__ (multi-axis tuples address the
             # reference's (n, 1) column layout via a reshaped view)
             if isinstance(name, tuple) and len(name) > 1:
+                # the reshaped write aliases self.data only when the
+                # buffer is contiguous; a copy would silently drop the
+                # assignment
+                assert self.data.flags["C_CONTIGUOUS"]
                 self.data.reshape(-1, 1)[name] = np.asarray(
                     value, dtype=float)
             else:

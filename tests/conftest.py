@@ -7,10 +7,15 @@ virtual CPU devices (see SURVEY.md §4); benches (bench.py) keep the TPU.
 """
 import os
 
-os.environ["DOMPC_TPU_X64"] = "1"
-
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("DOMPC_TEST_TPU"):
+    # opt-in hardware mode: keep whatever accelerator jax resolved so the
+    # @pytest.mark.tpu tests exercise compiled (Mosaic) kernels; f32 only
+    # (this chip has no f64)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+else:
+    os.environ["DOMPC_TPU_X64"] = "1"
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_enable_x64", True)

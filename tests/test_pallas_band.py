@@ -3,7 +3,10 @@
 Runs in interpreter mode so the check works on the CPU test platform; the
 TPU-compiled path is exercised by bench.py on hardware.
 """
+import os
+
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -88,6 +91,36 @@ def test_pallas_lanes_vmem_gate():
     assert pallas_lanes_fits(21, 13, 12)
     assert pallas_lanes_fits(101, 13, 12)
     assert not pallas_lanes_fits(21, 400, 400)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    not os.environ.get("DOMPC_TEST_TPU")
+    or jax.default_backend() != "tpu",
+    reason="compiled Mosaic lowering needs a real TPU "
+           "(DOMPC_TEST_TPU=1 on hardware)")
+def test_pallas_lanes_kernel_compiled_on_tpu():
+    """The interpret=True tests above validate the math; this one runs
+    the actual Mosaic lowering (masked-iota indexing, @pl.when staging,
+    BlockSpec index_map streaming) and compares against the XLA lanes
+    sweep on-device — the flagship (S=21, b=13) and a SPIKE-class long
+    chain."""
+    for (N, S, b, t) in [(128, 21, 13, 12), (16, 101, 13, 12)]:
+        D, U, Lo, rhs = _case(N, S, b, t, seed=101 + S)
+        ref = band_solve_qr_lanes(D, U, Lo, rhs)
+        got = band_solve_qr_pallas_lanes(D, U, Lo, rhs)
+        scale = float(jnp.max(jnp.abs(ref)))
+        rel = float(jnp.max(jnp.abs(ref - got))) / scale
+        assert rel < 1e-2, (N, S, b, t, rel)
+        y = jnp.einsum("nkij,nkjt->nkit", D, got)
+        if S > 1:
+            y = y.at[:, :-1].add(
+                jnp.einsum("nkij,nkjt->nkit", U, got[:, 1:]))
+            y = y.at[:, 1:].add(
+                jnp.einsum("nkij,nkjt->nkit", Lo, got[:, :-1]))
+        resid = float(jnp.max(jnp.abs(y - rhs))) \
+            / float(jnp.max(jnp.abs(rhs)))
+        assert resid < 1e-3, (N, S, b, t, resid)
 
 
 def test_pallas_band_extreme_scales():
