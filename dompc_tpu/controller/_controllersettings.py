@@ -57,6 +57,11 @@ class MPCSettings(ControllerSettings):
                                 # cold first solve still runs the full
                                 # globalized loop).  See solver/ipm.py
                                 # rti_* settings for damping/decay knobs.
+    solver_globalization: str = "filter"  # 'filter': Wächter-Biegler
+                                # (theta, phi) filter line search (the
+                                # IPOPT globalization; converges the DIP
+                                # swing-up).  'merit': legacy l1-merit
+                                # acceptance.
     solver_rti_prox: float = 1e-3      # RTI Levenberg damping
     solver_rti_step_max: float = 10.0  # RTI trust-region step cap
     solver_rti_mu_decay: float = 0.1   # RTI per-iteration barrier decay

@@ -60,8 +60,57 @@ class IPMSettings:
     slack_min: float = 1e-8
     z_init: float = 1.0         # initial bound duals (IPOPT initializes z=1)
     ls_max: int = 25            # max halvings in line search
+    # -- globalization ----------------------------------------------------
+    # 'filter': Wächter-Biegler (theta, phi) filter line search — the
+    # IPOPT globalization (reference behavior behind every nlpsol call,
+    # do_mpc/optimizer.py:731-787).  Unlike the l1 merit whose penalty
+    # nu ~ 2|lam|_inf forbids trading a little feasibility for a big
+    # objective drop, the filter accepts any non-dominated (theta, phi)
+    # pair — the step-length regime that traverses long nonconvex
+    # valleys (DIP N=100 swing-up: merit crawls at alpha~0.02 for 1500+
+    # iterations; measured r5).  'merit': the legacy l1-merit tests.
+    globalization: str = "filter"
+    filter_size: int = 16       # static per-instance filter capacity
+                                # (circular overwrite; IPOPT filters stay
+                                # small between mu resets)
+    gamma_theta: float = 1e-5   # filter margin on theta
+    gamma_phi: float = 1e-8     # filter margin on phi
+    eta_phi: float = 1e-8       # Armijo relaxation (f-type)
+    s_theta: float = 1.1        # switching condition powers
+    s_phi: float = 2.3
+    delta_switch: float = 1.0   # switching condition scale
+    gamma_alpha: float = 0.05   # alpha_min safety fraction
+    resto_delta: float = 1e6    # proximal weight of the restoration
+                                # solve: with delta dominant the KKT
+                                # system returns the minimum-norm step
+                                # onto the linearized constraints —
+                                # feasibility restoration that reuses the
+                                # factored structure instead of a second
+                                # NLP (IPOPT solves a dedicated resto
+                                # NLP; same role)
     delta_reg: float = 1e-8     # base primal regularization
     delta_cons: float = 1e-11   # dual regularization (keeps KKT nonsingular)
+    dual_cap: float = 1e2       # relative trust region on the equality-
+                                # multiplier step (filter mode):
+                                # |dlam|_inf <= dual_cap * (1+|lam|_inf).
+                                # With a large proximal delta and r_g != 0
+                                # the KKT solve returns dlam ~
+                                # delta*(J J^T)^-1 r_g — regularization-
+                                # amplified garbage that nothing in a
+                                # primal (theta, phi) acceptance can see;
+                                # unbounded it walks lam to 1e10 (r5 DIP
+                                # trace).  Geometric growth 100x/iter is
+                                # still allowed, so legitimate multiplier
+                                # jumps converge in a couple iterations.
+    prox_max: float = 1e4       # cap on the adaptive Levenberg damping.
+                                # Scaled variables are O(1): once prox
+                                # exceeds ~1e2 the "Newton" step is a
+                                # short gradient step AND the multiplier
+                                # update amplifies as dlam ~ prox *
+                                # (J J^T)^-1 r_g — the DIP death spiral
+                                # (diagnosed r5): tiny alpha -> prox x10
+                                # -> dual explosion -> worse curvature
+                                # -> tinier alpha.
     s_max: float = 100.0        # KKT error scaling (IPOPT's s_max)
     debug: bool = False         # jax.debug.print per-iteration diagnostics
     reg_retries: int = 5        # regularization-ladder length
@@ -81,6 +130,18 @@ class IPMSettings:
     rti_step_max: float = 10.0  # trust-region cap on the RTI step: alpha is
                                 # scaled so |dw|_inf*alpha <= this (scaled
                                 # variables are O(1))
+    dual_refit: bool = False    # least-squares multiplier refit before
+                                # each Newton step: one extra backsolve
+                                # with a dominant primal proximal weight
+                                # returns dlam ~= -(J J^T)^-1 J r_dw, the
+                                # Gauss LS correction applied at FULL step
+                                # (never scaled by the primal alpha).
+                                # Breaks the DIP crawl cycle where the
+                                # Levenberg prox re-injects stationarity
+                                # residual ~prox*|dw| every iteration and
+                                # the alpha-scaled lam update can never
+                                # reach the LS multipliers (r5 diagnosis).
+    refit_delta: float = 1e8    # proximal weight of the refit solve
     rti_mu_decay: float = 0.1   # per-RTI-iteration barrier decrease: at the
                                 # warm-start mu the central-path bias in
                                 # near-degenerate directions is O(mu/
@@ -125,6 +186,7 @@ def ipm_settings_from(st, **overrides) -> "IPMSettings":
         rti_prox=getattr(st, "solver_rti_prox", 1e-3),
         rti_step_max=getattr(st, "solver_rti_step_max", 10.0),
         rti_mu_decay=getattr(st, "solver_rti_mu_decay", 0.1),
+        globalization=getattr(st, "solver_globalization", "filter"),
     )
     ipopt_map = {
         "ipopt.tol": ("tol", float),
@@ -172,6 +234,14 @@ class IPMState(NamedTuple):
     # best).  Tracked primal-dual tuple + its true (mu=0) KKT error.
     best: tuple = ()
     best_err: jnp.ndarray = None
+    # Wächter-Biegler filter state (globalization='filter'): forbidden
+    # (theta, phi) pairs, circular fill count, and the violation
+    # envelope computed from the initial point
+    filt_th: jnp.ndarray = None
+    filt_ph: jnp.ndarray = None
+    filt_n: jnp.ndarray = None
+    th_max: jnp.ndarray = None
+    th_min: jnp.ndarray = None
 
 
 class IPMSolution(NamedTuple):
@@ -360,8 +430,15 @@ def make_ipm_solver(
                           / jnp.maximum(denom, 1)) / st.s_max
         s_c = jnp.maximum(st.s_max,
                           z_sum / jnp.maximum(n + q, 1)) / st.s_max
-        err_d = jnp.max(jnp.abs(jnp.concatenate([r_dw, r_ds]))) / s_d
+        r_d_all = jnp.concatenate([r_dw, r_ds])
+        err_d = jnp.max(jnp.abs(r_d_all)) / s_d
         err_p = jnp.max(jnp.abs(r_p)) if (m + q) else jnp.asarray(0.0)
+        if st.debug:
+            jax.debug.print(
+                "   kkt: err_d={ed:.2e}@{ia} (n={n}) err_p={ep:.2e}@{ip}",
+                ed=err_d, ia=jnp.argmax(jnp.abs(r_d_all)), n=n,
+                ep=err_p, ip=(jnp.argmax(jnp.abs(r_p)) if (m + q)
+                              else 0))
         return (err_d, err_p, comp_l, mask_l, comp_u, s_c)
 
     def err_from(res, mu):
@@ -443,11 +520,16 @@ def make_ipm_solver(
                                             r_h_mod_,
                                             jnp.asarray(delta, w.dtype))
 
-            def hvp(dx):
-                # Lagrangian Hessian-vector product via jvp of the gradient
+            def hvp(dx, _lg=lam_g, _lh=lam_h):
+                # Lagrangian Hessian-vector product via jvp of the
+                # gradient.  Default-arg snapshot of the multipliers:
+                # the dual refit below rebinds lam_g/lam_h, but the
+                # assembled ctx holds the OLD-lambda Hessian — the
+                # operator used in residual/curvature checks must match
+                # the factored matrix, not the refit multipliers.
                 def lag_grad(ww):
-                    return (grad_f(ww, p) + jgT_mv(ww, p, lam_g)
-                            + jhT_mv(ww, p, lam_h))
+                    return (grad_f(ww, p) + jgT_mv(ww, p, _lg)
+                            + jhT_mv(ww, p, _lh))
                 return jax.jvp(lag_grad, (w,), (dx,))[1]
         else:
             Jg = jac_g(w, p) if m else jnp.zeros((0, n), w.dtype)
@@ -460,6 +542,38 @@ def make_ipm_solver(
 
             def hvp(dx):
                 return Hw @ dx
+
+        # -- least-squares multiplier refit (dual_refit) ---------------
+        # One backsolve with a dominant primal proximal weight: the
+        # (w,lam) block degenerates to  refit_delta*dw + J^T dlam =
+        # -r_dw,  J dw ~= 0  =>  dlam ~= -(J J^T)^-1 J r_dw — the
+        # (barrier-weighted) least-squares multiplier correction.  It is
+        # applied at FULL step before the Newton direction is computed,
+        # so the alpha-scaled update can no longer starve the duals: on
+        # degenerate problems (DIP N=100) the Levenberg prox re-injects
+        # stationarity residual ~prox*|dw| every iteration, and with
+        # lam stepped by the primal alpha the multipliers never reach
+        # their LS values — the measured r5 crawl cycle.  The slack
+        # rows get -r_ds*inv_sig_s so lam_h is simultaneously pulled
+        # toward the centered value mu/dist.
+        dlam_pre = jnp.zeros((m + q,), w.dtype)
+        if st.dual_refit and (m + q):
+            _, dgr, dhr = do_solve_rhs(
+                r_dw, jnp.zeros((m,), w.dtype),
+                (-r_ds * inv_sig_s) if q else jnp.zeros((0,), w.dtype),
+                st.refit_delta)
+            ok_r = jnp.all(jnp.isfinite(dgr)) & jnp.all(jnp.isfinite(dhr))
+            dgr = jnp.where(ok_r, dgr, 0.0)
+            dhr = jnp.where(ok_r, dhr, 0.0)
+            dlam_pre = jnp.concatenate([dgr, dhr])
+            lam_g = lam_g + dgr
+            lam_h = lam_h + dhr
+            jtl_r = jgT_mv(w, p, lam_g) + jhT_mv(w, p, lam_h)
+            r_dw = gf + jtl_r \
+                - jnp.where(has_lb, mu / dl_w, 0.0) \
+                + jnp.where(has_ub, mu / du_w, 0.0)
+            r_ds = lam_h - mu / dl_s if q else jnp.zeros((0,), w.dtype)
+            r_h_mod = r_h - r_ds * inv_sig_s
 
         def do_solve(delta):
             return do_solve_rhs(r_dw, r_g, r_h_mod, delta)
@@ -503,7 +617,11 @@ def make_ipm_solver(
         prev_delta = prox
         for mult in (10.0, 1e2, 1e3, 1e5, 1e7)[:st.reg_retries]:
             bad = need_retry(step, prev_delta)
-            delta = jnp.maximum(prox, 1e-8) * mult
+            # rung deltas are capped: above prox_max the damped system's
+            # multiplier response dlam ~ delta*(J J^T)^-1 r_g is pure
+            # regularization garbage (and the primal step pure noise)
+            delta = jnp.minimum(jnp.maximum(prox, 1e-8) * mult,
+                                st.prox_max)
             # zero-trip skip when no element needs this rung (a lax.cond
             # would re-run the full KKT solve unconditionally under vmap
             # — the round-2 profile measured the ladder at 2x
@@ -581,7 +699,20 @@ def make_ipm_solver(
                                          prev_delta)
             return recover(dw2, dg2, dh2, r_h_soc)
 
-        return recover(dw, dlam_g, dlam_h, r_h) + (resolve_soc, prev_delta)
+        def resolve_resto():
+            """Feasibility-restoration direction: with the proximal
+            weight dominant the KKT system returns the minimum-norm
+            (barrier-metric-weighted) step onto the linearized
+            constraints — theta decreases to second order while the
+            primal point moves minimally.  The multiplier/bound-dual
+            components are discarded by the caller except the centering
+            parts recover() produces."""
+            dwr, dgr2, dhr2 = do_solve_rhs(
+                jnp.zeros_like(r_dw), r_g, r_h, st.resto_delta)
+            return recover(dwr, dgr2, dhr2, r_h)
+
+        return recover(dw, dlam_g, dlam_h, r_h) + (resolve_soc, prev_delta,
+                                                   dlam_pre, resolve_resto)
 
     # -- fraction to boundary ----------------------------------------------
     def max_alpha(x, dx, dist, active):
@@ -732,13 +863,33 @@ def make_ipm_solver(
                                             mu ** st.theta_mu)),
                     mu)
 
-                dw, ds, dlam, dzl, dzu, resolve_soc, delta_used = \
-                    newton_step(w, s, lam, zl, zu, p, mu_new, stt.prox,
-                                pre=pre)
+                # filter reset on barrier decrease (W-B reinitialize):
+                # entries recorded at the old mu constrain a different
+                # barrier objective
+                mu_dec = mu_new < mu
+                filt_th0 = jnp.where(mu_dec, jnp.inf, stt.filt_th)
+                filt_ph0 = jnp.where(mu_dec, jnp.inf, stt.filt_ph)
+                filt_n0 = jnp.where(mu_dec, 0, stt.filt_n)
+
+                (dw, ds, dlam, dzl, dzu, resolve_soc, delta_used,
+                 dlam_pre, resolve_resto) = newton_step(
+                     w, s, lam, zl, zu, p, mu_new, stt.prox, pre=pre)
+                # the LS multiplier refit is part of the point, not of
+                # the searched direction: applied at full step so the
+                # primal alpha cannot scale it away
+                lam_b = lam + dlam_pre
+                if st.globalization == "filter":
+                    # dual trust region (see dual_cap): primal acceptance
+                    # cannot see multiplier explosions, so bound them here
+                    dl_norm = jnp.max(jnp.abs(dlam), initial=0.0)
+                    l_norm = jnp.max(jnp.abs(lam_b), initial=0.0)
+                    dlam = dlam * jnp.minimum(
+                        1.0, st.dual_cap * (1.0 + l_norm)
+                        / jnp.maximum(dl_norm, _TINY))
                 a_p, a_d = fraction_to_boundary(w, s, dw, ds, zl, zu, dzl,
                                                 dzu, mu_new)
                 nu = jnp.maximum(1.0, 2.0 * jnp.max(
-                    jnp.abs(lam + dlam), initial=0.0))
+                    jnp.abs(lam_b + dlam), initial=0.0))
 
                 # acceptance: merit test OR direct KKT-error decrease (the
                 # latter is what matters near the central path, where the
@@ -748,44 +899,109 @@ def make_ipm_solver(
                 def kkt_decrease(alpha, dw_, ds_, dlam_, dzl_, dzu_, a_d_):
                     w_t = w + alpha * dw_
                     s_t = s + alpha * ds_
-                    lam_t = lam + alpha * dlam_
+                    lam_t = lam_b + alpha * dlam_
                     zl_t = zl + a_d_ * dzl_
                     zu_t = zu + a_d_ * dzu_
                     err_t = kkt_error(w_t, s_t, lam_t, zl_t, zu_t, p,
                                       mu_new)
                     return jnp.isfinite(err_t) & (err_t < 0.99 * err_ref)
 
+                filter_mode = st.globalization == "filter"
+                theta_k = constraint_violation(pre[1], pre[2], s)
+                phi_k = barrier_value(w, s, p, mu_new)
+                ls_failed = jnp.asarray(False)
+                f_type = jnp.asarray(True)
+
+                def gphi_dot(dw_, ds_):
+                    """Directional derivative of the barrier objective
+                    (no constraint terms — those belong to theta)."""
+                    dlw_, dls_ = dist_l(w, s)
+                    duw_ = dist_u(w)
+                    gphi_w = pre[0] \
+                        - jnp.where(has_lb,
+                                    mu_new / jnp.maximum(dlw_, _TINY), 0.0) \
+                        + jnp.where(has_ub,
+                                    mu_new / jnp.maximum(duw_, _TINY), 0.0)
+                    out = jnp.dot(gphi_w, dw_)
+                    if q:
+                        out = out + jnp.dot(-mu_new / jnp.maximum(
+                            dls_, _TINY), ds_)
+                    return out
+
+                def accept_fn(alpha, dw_, ds_, gphi_d_):
+                    """W-B acceptance: must be acceptable to the filter
+                    AND either (f-type: switching holds -> Armijo on phi)
+                    or (h-type: sufficient decrease in theta or phi vs
+                    the current point).  Returns (ok, f_type)."""
+                    w_t = w + alpha * dw_
+                    s_t = s + alpha * ds_
+                    phi_t = barrier_value(w_t, s_t, p, mu_new)
+                    gv_t, hv_t = eval_all(w_t, p)
+                    th_t = constraint_violation(gv_t, hv_t, s_t)
+                    fil_ok = jnp.all(
+                        (th_t <= (1.0 - st.gamma_theta) * filt_th0)
+                        | (phi_t <= filt_ph0 - st.gamma_phi * filt_th0))
+                    sw = (gphi_d_ < 0) & (theta_k <= stt.th_min) & (
+                        alpha * (-gphi_d_) ** st.s_phi
+                        > st.delta_switch * theta_k ** st.s_theta)
+                    armijo = phi_t <= phi_k + st.eta_phi * alpha * gphi_d_
+                    h_ok = (th_t <= (1.0 - st.gamma_theta) * theta_k) \
+                        | (phi_t <= phi_k - st.gamma_phi * theta_k)
+                    ok = jnp.isfinite(phi_t) & jnp.isfinite(th_t) \
+                        & (th_t <= stt.th_max) & fil_ok \
+                        & jnp.where(sw, armijo, h_ok)
+                    return ok, sw & armijo
+
                 # full step if acceptable; else one second-order
                 # correction (absorbs the nonlinear constraint-violation
                 # growth of long steps, IPOPT-style); else backtracking
                 # line search
-                ok_full = ls_trial(w, s, dw, ds, p, mu_new, a_p, nu,
-                                   gvhv0=pre[1:3]) \
-                    | kkt_decrease(a_p, dw, ds, dlam, dzl, dzu, a_d)
+                if filter_mode:
+                    gphi_d0 = gphi_dot(dw, ds)
+                    acc0, ft0 = accept_fn(a_p, dw, ds, gphi_d0)
+                    # KKT-error decrease stays an OR-acceptance (load-
+                    # bearing near the central path); counts as f-type
+                    # so it never augments the filter (it cannot cycle:
+                    # the error strictly contracts)
+                    kd0 = kkt_decrease(a_p, dw, ds, dlam, dzl, dzu, a_d)
+                    ok_full = acc0 | kd0
+                    f_type = ft0 | kd0
+                else:
+                    ok_full = ls_trial(w, s, dw, ds, p, mu_new, a_p, nu,
+                                       gvhv0=pre[1:3]) \
+                        | kkt_decrease(a_p, dw, ds, dlam, dzl, dzu, a_d)
 
                 def do_soc(_):
                     dw2, ds2, dlam2, dzl2, dzu2 = resolve_soc(a_p)
                     a_p2, a_d2 = fraction_to_boundary(
                         w, s, dw2, ds2, zl, zu, dzl2, dzu2, mu_new)
-                    ok2 = ls_trial(w, s, dw2, ds2, p, mu_new, a_p2, nu,
-                                   gvhv0=pre[1:3]) \
-                        | kkt_decrease(a_p2, dw2, ds2, dlam2, dzl2, dzu2,
+                    kd2 = kkt_decrease(a_p2, dw2, ds2, dlam2, dzl2, dzu2,
                                        a_d2)
-                    return ok2, dw2, ds2, dlam2, dzl2, dzu2, a_p2, a_d2
+                    if filter_mode:
+                        acc2, ft2 = accept_fn(a_p2, dw2, ds2,
+                                              gphi_dot(dw2, ds2))
+                        ok2 = acc2 | kd2
+                        ft2 = ft2 | kd2
+                    else:
+                        ok2 = ls_trial(w, s, dw2, ds2, p, mu_new, a_p2,
+                                       nu, gvhv0=pre[1:3]) | kd2
+                        ft2 = jnp.asarray(True)
+                    return ok2, ft2, dw2, ds2, dlam2, dzl2, dzu2, a_p2, \
+                        a_d2
 
                 def no_soc(_):
-                    return (jnp.asarray(False), dw, ds, dlam, dzl, dzu,
-                            a_p, a_d)
+                    return (jnp.asarray(False), jnp.asarray(True), dw, ds,
+                            dlam, dzl, dzu, a_p, a_d)
 
                 if st.use_soc:
                     # zero-trip skip when the whole batch accepted the
                     # full step (a lax.cond here would pay the SOC's
                     # extra KKT backsolve unconditionally under vmap)
-                    (soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
+                    (soc_ok, soc_ft, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
                      a_d2) = _cond_any(~ok_full, lambda: do_soc(None),
                                        no_soc(None))
                 else:
-                    (soc_ok, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
+                    (soc_ok, soc_ft, dw2, ds2, dlam2, dzl2, dzu2, a_p2,
                      a_d2) = no_soc(None)
                 use_soc = (~ok_full) & soc_ok
 
@@ -799,6 +1015,7 @@ def make_ipm_solver(
                 dzu = pick(dzu, dzu2)
                 a_p = jnp.where(use_soc, a_p2, a_p)
                 a_d = jnp.where(use_soc, a_d2, a_d)
+                f_type = jnp.where(use_soc, soc_ft, f_type)
 
                 # seeded: accepted elements take zero loop trips, so a
                 # fully-accepted batch skips the body entirely under vmap
@@ -806,13 +1023,106 @@ def make_ipm_solver(
                 # line-search branch unconditionally under vmap —
                 # measured 13.6 ms/iter of waste on the warm flagship at
                 # B=128)
-                alpha = line_search(w, s, dw, ds, p, mu_new, a_p, nu,
-                                    pre_ok=ok_full | use_soc,
-                                    gvhv0=pre[1:3])
+                if filter_mode:
+                    gphi_d = gphi_dot(dw, ds)
+                    gneg = -jnp.minimum(gphi_d, 0.0)
+                    amin2 = jnp.where(
+                        gneg > 0,
+                        st.gamma_phi * theta_k / jnp.maximum(gneg, _TINY),
+                        st.gamma_theta)
+                    amin3 = jnp.where(
+                        (gneg > 0) & (theta_k <= stt.th_min),
+                        st.delta_switch * theta_k ** st.s_theta
+                        / jnp.maximum(gneg ** st.s_phi, _TINY),
+                        jnp.inf)
+                    alpha_min = st.gamma_alpha * jnp.minimum(
+                        jnp.minimum(st.gamma_theta, amin2), amin3)
 
-                w_n = w + alpha * dw
-                s_n = s + alpha * ds
-                lam_n = lam + alpha * dlam
+                    def ls_body(carry):
+                        al, k, done, ft = carry
+                        a_try = al * 0.5
+                        ok_t, ft_t = accept_fn(a_try, dw, ds, gphi_d)
+                        return (jnp.where(done, al, a_try), k + 1,
+                                done | ok_t, jnp.where(done, ft, ft_t))
+
+                    def ls_cond(carry):
+                        al, k, done, ft = carry
+                        return (~done) & (k < st.ls_max) \
+                            & (al * 0.5 >= alpha_min)
+
+                    alpha, _, ls_done, f_type = jax.lax.while_loop(
+                        ls_cond, ls_body,
+                        (a_p, 0, ok_full | use_soc, f_type))
+                    ls_failed = ~ls_done
+                    alpha = jnp.where(ls_failed, 0.0, alpha)
+                else:
+                    alpha = line_search(w, s, dw, ds, p, mu_new, a_p, nu,
+                                        pre_ok=ok_full | use_soc,
+                                        gvhv0=pre[1:3])
+
+                # -- feasibility restoration (filter mode) -------------
+                # A failed line search means no step trades theta/phi
+                # acceptably; take a minimum-norm step onto the
+                # linearized constraints instead (backtracked on theta
+                # alone).  Elements stay in this regime on subsequent
+                # iterations until theta re-enters filter-acceptable
+                # territory.  Infeasibility below resto_trigger cannot
+                # be restored (the point is already feasible — W-B's
+                # "restoration converged to an unacceptable feasible
+                # point" failure); those take the alpha_min fallback
+                # step so the loop keeps moving.
+                resto_trigger = 1e-12
+                use_resto = ls_failed & (theta_k > resto_trigger)
+                if filter_mode:
+                    def do_resto():
+                        dwr, dsr, dlamr, dzlr, dzur = resolve_resto()
+                        a_pr, a_dr = fraction_to_boundary(
+                            w, s, dwr, dsr, zl, zu, dzlr, dzur, mu_new)
+
+                        def r_body(carry):
+                            al, k, done = carry
+                            w_t = w + al * dwr
+                            s_t = s + al * dsr
+                            gv_t, hv_t = eval_all(w_t, p)
+                            th_t = constraint_violation(gv_t, hv_t, s_t)
+                            ok_t = jnp.isfinite(th_t) & (
+                                th_t <= (1.0 - 1e-4 * al) * theta_k)
+                            return (jnp.where(ok_t, al, al * 0.5),
+                                    k + 1, done | ok_t)
+
+                        al_r, _, r_ok = jax.lax.while_loop(
+                            lambda c: (~c[2]) & (c[1] < 12),
+                            r_body, (a_pr, 0, ~use_resto))
+                        return dwr, dsr, dzlr, dzur, al_r, a_dr, r_ok
+
+                    zero_r = (jnp.zeros_like(dw), jnp.zeros_like(ds),
+                              jnp.zeros_like(dzl), jnp.zeros_like(dzu),
+                              jnp.asarray(0.0, w.dtype),
+                              jnp.asarray(0.0, w.dtype),
+                              jnp.asarray(False))
+                    (dwr, dsr, dzlr, dzur, al_r, a_dr,
+                     r_ok) = _cond_any(use_resto, do_resto, zero_r)
+                    use_resto = use_resto & r_ok
+                    alpha = jnp.where(use_resto, 0.0, alpha)
+
+                    # fallback for unrestorable failures: the alpha_min
+                    # step keeps strictly positive progress (IPOPT would
+                    # abort here; a batched solver must keep stepping)
+                    fallback = ls_failed & ~use_resto
+                    alpha = jnp.where(fallback,
+                                      jnp.maximum(alpha_min,
+                                                  a_p * 0.5 ** st.ls_max),
+                                      alpha)
+
+                    w_n = w + alpha * dw + al_r * jnp.where(use_resto,
+                                                            1.0, 0.0) * dwr
+                    s_n = s + alpha * ds + al_r * jnp.where(use_resto,
+                                                            1.0, 0.0) * dsr
+                    lam_n = lam_b + alpha * dlam
+                else:
+                    w_n = w + alpha * dw
+                    s_n = s + alpha * ds
+                    lam_n = lam_b + alpha * dlam
                 # NOTE (measured): scaling the dual RESPONSE part by the
                 # primal alpha ("principled" linearization of the taken
                 # step) was built and reverted — it degraded both DIP
@@ -820,8 +1130,15 @@ def make_ipm_solver(
                 # (F err 0.094 > 0.06 gate).  The standard full dual step
                 # with its own fraction-to-boundary a_d (IPOPT's alpha_z)
                 # stays.
-                zl_n = zl + a_d * dzl
-                zu_n = zu + a_d * dzu
+                if filter_mode:
+                    eff_ad = jnp.where(use_resto, a_dr, a_d)
+                    eff_dzl = jnp.where(use_resto, dzlr, dzl)
+                    eff_dzu = jnp.where(use_resto, dzur, dzu)
+                    zl_n = zl + eff_ad * eff_dzl
+                    zu_n = zu + eff_ad * eff_dzu
+                else:
+                    zl_n = zl + a_d * dzl
+                    zu_n = zu + a_d * dzu
                 # keep duals sane relative to the barrier parameter
                 # (IPOPT's kappa_Sigma safeguard)
                 dl_w, dl_s = dist_l(w_n, s_n)
@@ -841,23 +1158,84 @@ def make_ipm_solver(
                     0.0)
 
                 if st.debug:
+                    tau_d = jnp.maximum(st.tau_min, 1.0 - mu_new)
+                    dlw_d, dls_d = dist_l(w, s)
+                    duw_d = dist_u(w)
+                    rat_l = jnp.where(has_lb & (dw < 0),
+                                      -tau_d * dlw_d / jnp.where(
+                                          dw == 0, -1.0, dw), jnp.inf)
+                    rat_u = jnp.where(has_ub & (dw > 0),
+                                      tau_d * duw_d / jnp.where(
+                                          dw == 0, 1.0, dw), jnp.inf)
+                    rat = jnp.minimum(rat_l, rat_u)
+                    blk = jnp.argmin(rat)
+                    jax.debug.print(
+                        "   blocker: w[{b}] rat={r:.2e} dw={dwb:.2e} "
+                        "dl={dlb:.2e} du={dub:.2e} s_min_rat={sr:.2e}",
+                        b=blk, r=rat[blk], dwb=dw[blk], dlb=dlw_d[blk],
+                        dub=duw_d[blk],
+                        sr=(jnp.min(jnp.where(ds < 0, -tau_d * dls_d
+                                              / jnp.where(ds == 0, -1.0,
+                                                          ds), jnp.inf),
+                                    initial=jnp.inf) if q else jnp.inf))
                     jax.debug.print(
                         "it={it} mu={mu:.1e} err0={e0:.2e} errmu={em:.2e} "
-                        "alpha={a:.2e} a_d={ad:.2e} nu={nu:.1e}",
+                        "d={ed:.1e} p={ep:.1e} phi={ph:.8e} th={th:.2e} "
+                        "alpha={a:.2e} a_d={ad:.2e} nu={nu:.1e} "
+                        "|dlam|={dl:.1e} |lam|={l:.1e} prox={px:.1e}",
                         it=stt.it, mu=mu_new, e0=err_0, em=err_mu,
-                        a=alpha, ad=a_d, nu=nu)
-                # Levenberg adaptation: small accepted steps -> more
-                # damping (tames huge Newton steps along flat directions
-                # that the line search would otherwise crush); good
-                # steps -> less damping.
-                prox_n = jnp.where(
-                    alpha < 0.1, jnp.maximum(delta_used * 10.0, 1e-8),
-                    jnp.where(alpha > 0.9, delta_used / 5.0, delta_used))
-                prox_n = jnp.clip(prox_n, 0.0, 1e6)
-                return (w_n, s_n, lam_n, zl_c, zu_c, mu_new, prox_n)
+                        ed=res0[0], ep=res0[1],
+                        ph=barrier_value(w, s, p, mu_new),
+                        th=constraint_violation(pre[1], pre[2], s),
+                        a=alpha, ad=a_d, nu=nu,
+                        dl=jnp.max(jnp.abs(dlam), initial=0.0),
+                        l=jnp.max(jnp.abs(lam), initial=0.0),
+                        px=stt.prox)
+                if filter_mode:
+                    # filter augmentation (W-B A-6): h-type acceptances
+                    # and line-search failures carve the current
+                    # (theta, phi) out of the acceptable region; f-type
+                    # (Armijo) iterations never augment.  Feasible-point
+                    # failures (theta ~ 0) are skipped: an entry with
+                    # theta_j = 0 would forbid every phi >= phi_j at any
+                    # theta — a deadlock, not a safeguard.
+                    add_entry = ((~ls_failed) & (~f_type)
+                                 | (ls_failed & (theta_k > 1e-12)))
+                    slot_hot = (jnp.arange(st.filter_size)
+                                == filt_n0 % st.filter_size)
+                    filt_th1 = jnp.where(
+                        slot_hot & add_entry,
+                        (1.0 - st.gamma_theta) * theta_k, filt_th0)
+                    filt_ph1 = jnp.where(
+                        slot_hot & add_entry,
+                        phi_k - st.gamma_phi * theta_k, filt_ph0)
+                    filt_n1 = filt_n0 + add_entry
+                    # per-iteration regularization (IPOPT-style): the
+                    # successful delta decays between iterations instead
+                    # of ratcheting on small alphas — the alpha-feedback
+                    # rule manufactured the DIP prox death spiral (r5)
+                    prox_n = jnp.where(
+                        ls_failed,
+                        jnp.maximum(delta_used, 1e-6) * 10.0,
+                        jnp.where(alpha > 0.3, delta_used / 3.0,
+                                  delta_used))
+                else:
+                    filt_th1, filt_ph1, filt_n1 = (filt_th0, filt_ph0,
+                                                   filt_n0)
+                    # Levenberg adaptation: small accepted steps -> more
+                    # damping (tames huge Newton steps along flat
+                    # directions that the line search would otherwise
+                    # crush); good steps -> less damping.
+                    prox_n = jnp.where(
+                        alpha < 0.1, jnp.maximum(delta_used * 10.0, 1e-8),
+                        jnp.where(alpha > 0.9, delta_used / 5.0,
+                                  delta_used))
+                prox_n = jnp.clip(prox_n, 0.0, st.prox_max)
+                return (w_n, s_n, lam_n, zl_c, zu_c, mu_new, prox_n,
+                        filt_th1, filt_ph1, filt_n1)
 
-            (w_t2, s_t2, lam_t2, zl_t2, zu_t2, mu_t2,
-             prox_n) = take_step()
+            (w_t2, s_t2, lam_t2, zl_t2, zu_t2, mu_t2, prox_n,
+             fth_t2, fph_t2, fn_t2) = take_step()
 
             def frz(old, new):
                 return jnp.where(converged, old, new)
@@ -880,7 +1258,11 @@ def make_ipm_solver(
                 it=stt.it + 1,
                 converged=converged,
                 kkt_err=err_0,
-                prox=prox_n, best=best_n, best_err=best_err_n)
+                prox=prox_n, best=best_n, best_err=best_err_n,
+                filt_th=frz(stt.filt_th, fth_t2),
+                filt_ph=frz(stt.filt_ph, fph_t2),
+                filt_n=frz(stt.filt_n, fn_t2),
+                th_max=stt.th_max, th_min=stt.th_min)
 
         return jax.lax.while_loop(cond, body, state)
 
@@ -896,9 +1278,10 @@ def make_ipm_solver(
         def body(i, stt: IPMState):
             w, s, lam, zl, zu = stt.w, stt.s, stt.lam, stt.zl, stt.zu
             mu = stt.mu * st.rti_mu_decay ** i
-            dw, ds, dlam, dzl, dzu, _soc, delta_used = newton_step(
-                w, s, lam, zl, zu, p, mu,
-                jnp.maximum(stt.prox, st.rti_prox))
+            (dw, ds, dlam, dzl, dzu, _soc, delta_used, dlam_pre,
+             _resto) = newton_step(w, s, lam, zl, zu, p, mu,
+                                   jnp.maximum(stt.prox, st.rti_prox))
+            lam = lam + dlam_pre
             a_p, a_d = fraction_to_boundary(w, s, dw, ds, zl, zu, dzl, dzu,
                                             mu)
             # trust-region cap: scale the whole primal-dual update uniformly
@@ -923,11 +1306,8 @@ def make_ipm_solver(
                 jnp.clip(zu_n, mu / (kap * jnp.maximum(du, _TINY)),
                          kap * mu / jnp.maximum(du, _TINY)),
                 0.0)
-            return IPMState(w=w_n, s=s_n, lam=lam_n, zl=zl_n, zu=zu_n,
-                            mu=stt.mu, it=stt.it + 1,
-                            converged=stt.converged,
-                            kkt_err=stt.kkt_err, prox=stt.prox,
-                            best=stt.best, best_err=stt.best_err)
+            return stt._replace(w=w_n, s=s_n, lam=lam_n, zl=zl_n,
+                                zu=zu_n, it=stt.it + 1)
 
         final = jax.lax.fori_loop(0, st.rti_iters, body, state)
         err = kkt_error(final.w, final.s, final.lam, final.zl, final.zu,
@@ -984,12 +1364,22 @@ def make_ipm_solver(
             restart_u = central_u if use_central else zu
             zu = jnp.where(zu0 > 1e-12, jnp.maximum(zu0, mu / 1e8),
                            jnp.where(mask_u0, restart_u, 0.0))
+        gv0, hv0 = eval_all(w, p)
+        theta0 = constraint_violation(gv0, hv0, s)
+        theta0 = jnp.where(jnp.isfinite(theta0), theta0, 1.0)
         return IPMState(w=w, s=s, lam=lam, zl=zl, zu=zu, mu=mu,
                         it=jnp.asarray(0), converged=jnp.asarray(False),
                         kkt_err=jnp.asarray(jnp.inf, dtype),
                         prox=jnp.asarray(0.0, dtype),
                         best=(w, s, lam, zl, zu),
-                        best_err=jnp.asarray(jnp.inf, dtype))
+                        best_err=jnp.asarray(jnp.inf, dtype),
+                        filt_th=jnp.full((st.filter_size,), jnp.inf,
+                                         dtype),
+                        filt_ph=jnp.full((st.filter_size,), jnp.inf,
+                                         dtype),
+                        filt_n=jnp.asarray(0),
+                        th_max=1e4 * jnp.maximum(1.0, theta0),
+                        th_min=1e-4 * jnp.maximum(1.0, theta0))
 
     # -- active-set Newton polish ------------------------------------------
     # The barrier loop identifies the active set and gets within ~1e-3..1e-5;
