@@ -641,7 +641,8 @@ class MPC(Optimizer, IteratedVariables):
         self._struct_parts = dict(
             gather=gather, d_g=d_g, d_h=d_h, d2_lag=d2_lag, R_g_j=R_g_j,
             R_h_j=R_h_j, omega=omega, term_mask_f=term_mask_f, nlr=nlr,
-            I=I, d=d, R_g=R_g, R_h=R_h)
+            I=I, d=d, R_g=R_g, R_h=R_h,
+            lag_i=lag_i, g_i=g_i, h_i=(h_i if nlr else None))
 
         # sizes
         self.n_opt_lagr = m_eq
@@ -838,6 +839,55 @@ class MPC(Optimizer, IteratedVariables):
         return (var_chain, var_stage, g_chain, g_stage, h_chain, h_stage,
                 init_cols)
 
+    def _make_stage_derivs(self):
+        """Per-stage derivative oracle (Hi, Jg_i, Jh_i) for the KKT
+        backends.
+
+        Two formulations, A/B-switchable with DOMPC_TPU_FUSED_PREPARE:
+        '1' (fused) pushes ONE set of forward tangents through a bundle
+        (grad_lag, g, h) — the Lagrangian gradient's reverse graph
+        contains g/h as subgraphs, so sharing the jacfwd tangents lets
+        XLA fuse the three sweeps the separate-transform version keeps
+        apart; '0' (default) keeps the three independent vmapped
+        transforms.  Only in-loop bench A/Bs decide which ships (the r3
+        lesson: isolated component timings mislead here).
+        """
+        import os as _os
+        sp = self._struct_parts
+        d_g, d_h, d2_lag = sp["d_g"], sp["d_h"], sp["d2_lag"]
+        lag_i, g_i, h_i = sp.get("lag_i"), sp.get("g_i"), sp.get("h_i")
+        nlr, I, d = sp["nlr"], sp["I"], sp["d"]
+        fused = _os.environ.get("DOMPC_TPU_FUSED_PREPARE") == "1" \
+            and lag_i is not None
+
+        if fused:
+            def stage_derivs(V, tvp, tvpN, p, omega, term_mask, Lg, Lh):
+                def one(v, tv, pp, om, tm, lg, lh):
+                    def bundle(vv):
+                        gl = jax.grad(lag_i)(vv, tv, tvpN, pp, om, tm,
+                                             lg, lh)
+                        if nlr:
+                            return (gl, g_i(vv, tv, pp), h_i(vv, tv, pp))
+                        return (gl, g_i(vv, tv, pp))
+                    return jax.jacfwd(bundle)(v)
+
+                outs = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
+                    V, tvp, p, omega, term_mask, Lg, Lh)
+                Hi, Jg_i = outs[0], outs[1]
+                Jh_i = outs[2] if nlr else jnp.zeros(
+                    (I, 0, d), V.dtype)
+                return Hi, Jg_i, Jh_i
+        else:
+            def stage_derivs(V, tvp, tvpN, p, omega, term_mask, Lg, Lh):
+                Hi = jax.vmap(d2_lag, in_axes=(0, 0, None, 0, 0, 0, 0,
+                                               0))(
+                    V, tvp, tvpN, p, omega, term_mask, Lg, Lh)
+                Jg_i = jax.vmap(d_g)(V, tvp, p)
+                Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
+                        else jnp.zeros((I, 0, d), V.dtype))
+                return Hi, Jg_i, Jh_i
+        return stage_derivs
+
     def _make_structured_solve(self, delta_cons, n_refine=1):
         """Structured KKT backend: instance-local derivative tensors are
         scatter-assembled into per-scenario-chain band blocks plus a root
@@ -868,17 +918,16 @@ class MPC(Optimizer, IteratedVariables):
         # fused Pallas sweep on TPU (float32); lax.scan QR elsewhere
         accel = jax.default_backend() == "tpu"
 
+        stage_derivs = self._make_stage_derivs()
+
         def prepare(w, pvec, lam_g, lam_h, sig_w, inv_sig_s):
             """Derivatives + scatter assembly: once per Newton step; the
             retry ladder / SOC re-solves reuse the assembled system."""
             V, tvp, tvpN, p = gather(w, pvec)
             Lg = lam_g[R_g_j]
             Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), w.dtype)
-            Hi = jax.vmap(d2_lag, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
-                V, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)
-            Jg_i = jax.vmap(d_g)(V, tvp, p)
-            Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
-                    else jnp.zeros((I, 0, sp["d"]), w.dtype))
+            Hi, Jg_i, Jh_i = stage_derivs(V, tvp, tvpN, p, omega,
+                                          term_mask_f, Lg, Lh)
             return assembler.assemble(
                 Hi, Jg_i, Jh_i, sig_w,
                 -delta_cons * jnp.ones((m,), w.dtype),
@@ -1049,15 +1098,14 @@ class MPC(Optimizer, IteratedVariables):
         # fusion (r2 BENCH's "17 ms M-build" was an isolated-measurement
         # artifact; see BENCH.md round-3 notes).  Keep the gathers.
 
+        stage_derivs = self._make_stage_derivs()
+
         def prepare(w, pvec, lam_g, lam_h, sig_w, inv_sig_s):
             V, tvp, tvpN, p = gather(w, pvec)
             Lg = lam_g[R_g_j]
             Lh = lam_h[R_h_j] if nlr else jnp.zeros((I, 0), w.dtype)
-            Hi = jax.vmap(d2_lag, in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
-                V, tvp, tvpN, p, omega, term_mask_f, Lg, Lh)
-            Jg_i = jax.vmap(d_g)(V, tvp, p)
-            Jh_i = (jax.vmap(d_h)(V, tvp, p) if nlr
-                    else jnp.zeros((I, 0, d), w.dtype))
+            Hi, Jg_i, Jh_i = stage_derivs(V, tvp, tvpN, p, omega,
+                                          term_mask_f, Lg, Lh)
             return (Hi, Jg_i, Jh_i, sig_w, inv_sig_s)
 
         def solve(ctx, r_dw, r_g, r_h_mod, delta):

@@ -80,6 +80,16 @@ class IPMSettings:
     s_phi: float = 2.3
     delta_switch: float = 1.0   # switching condition scale
     gamma_alpha: float = 0.05   # alpha_min safety fraction
+    use_resto: bool = True      # feasibility-restoration regime on
+                                # line-search failure.  Static flag: the
+                                # restoration's _cond_any adds a while-
+                                # loop boundary to the hot loop that
+                                # splits XLA fusion clusters (~17 ms/iter
+                                # at B=128 even when no element ever
+                                # restores — the r3 boundary cost, re-
+                                # measured r5 as a 40% flagship hit), so
+                                # throughput mode turns it off and keeps
+                                # the alpha_min fallback step instead.
     resto_delta: float = 1e6    # proximal weight of the restoration
                                 # solve: with delta dominant the KKT
                                 # system returns the minimum-norm step
@@ -1072,8 +1082,9 @@ def make_ipm_solver(
                 # point" failure); those take the alpha_min fallback
                 # step so the loop keeps moving.
                 resto_trigger = 1e-12
-                use_resto = ls_failed & (theta_k > resto_trigger)
-                if filter_mode:
+                use_resto = ls_failed & (theta_k > resto_trigger) \
+                    if st.use_resto else jnp.asarray(False)
+                if filter_mode and st.use_resto:
                     def do_resto():
                         dwr, dsr, dlamr, dzlr, dzur = resolve_resto()
                         a_pr, a_dr = fraction_to_boundary(
@@ -1104,7 +1115,12 @@ def make_ipm_solver(
                      r_ok) = _cond_any(use_resto, do_resto, zero_r)
                     use_resto = use_resto & r_ok
                     alpha = jnp.where(use_resto, 0.0, alpha)
-
+                else:
+                    dwr = dsr = None
+                    dzlr, dzur = dzl, dzu
+                    al_r = jnp.asarray(0.0, w.dtype)
+                    a_dr = a_d
+                if filter_mode:
                     # fallback for unrestorable failures: the alpha_min
                     # step keeps strictly positive progress (IPOPT would
                     # abort here; a batched solver must keep stepping)
@@ -1113,16 +1129,13 @@ def make_ipm_solver(
                                       jnp.maximum(alpha_min,
                                                   a_p * 0.5 ** st.ls_max),
                                       alpha)
-
-                    w_n = w + alpha * dw + al_r * jnp.where(use_resto,
-                                                            1.0, 0.0) * dwr
-                    s_n = s + alpha * ds + al_r * jnp.where(use_resto,
-                                                            1.0, 0.0) * dsr
-                    lam_n = lam_b + alpha * dlam
-                else:
-                    w_n = w + alpha * dw
-                    s_n = s + alpha * ds
-                    lam_n = lam_b + alpha * dlam
+                w_n = w + alpha * dw
+                s_n = s + alpha * ds
+                if filter_mode and st.use_resto:
+                    r_gain = al_r * jnp.where(use_resto, 1.0, 0.0)
+                    w_n = w_n + r_gain * dwr
+                    s_n = s_n + r_gain * dsr
+                lam_n = lam_b + alpha * dlam
                 # NOTE (measured): scaling the dual RESPONSE part by the
                 # primal alpha ("principled" linearization of the taken
                 # step) was built and reverted — it degraded both DIP

@@ -50,8 +50,28 @@ def measure(n_devices, per_device_batch=4, reps=3):
         u0s, iters, n_ok = sharded(X, W)
         u0s.block_until_ready()
     wall = time.perf_counter() - t0
+
+    # collective cost: the solver's only cross-device communication is
+    # the scalar success psum; time it standalone on the same mesh
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P("b"), out_specs=P())
+    def psum_only(v):
+        return jax.lax.psum(jnp.sum(v), "b")
+
+    v = jnp.ones((B,))
+    psum_only(v).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(100):
+        out = psum_only(v)
+    out.block_until_ready()
+    psum_ms = (time.perf_counter() - t0) / 100 * 1e3
     return {"n_devices": n_devices, "batch": B,
             "solves_per_s": round(B * reps / wall, 3),
+            "psum_overhead_ms": round(psum_ms, 4),
             "success": float(n_ok) / B}
 
 
@@ -66,10 +86,9 @@ def main():
     # a 2-core host).  On real multi-chip hardware each mesh device owns
     # its own compute and the same program scales per-chip.
     cores = os.cpu_count() or 1
-    n1 = max(1, min(4, cores // 2))
-    pair = (n1, 2 * n1)
+    sizes = (1, 2, 4, 8)
     results = []
-    for n in pair:
+    for n in sizes:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), str(n)],
             capture_output=True, text=True, timeout=3000,
@@ -77,15 +96,38 @@ def main():
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")][-1]
         results.append(json.loads(line))
-        print(line)
-    r1, r2 = results
-    eff = (r2["solves_per_s"] / r1["solves_per_s"]) * (pair[0] / pair[1])
-    print(json.dumps({
-        "metric": f"weak_scaling_{pair[0]}to{pair[1]}_devices",
-        "efficiency": round(eff, 3),
+        print(line, flush=True)
+    r1 = results[0]
+    table = []
+    for r in results:
+        eff = (r["solves_per_s"] / r1["solves_per_s"]) / r["n_devices"]
+        table.append({**r, "efficiency_vs_1dev": round(eff, 3)})
+    # the honest pair on this host: the largest mesh whose devices map
+    # to distinct physical cores; beyond that, virtual devices share
+    # cores and total throughput is core-bound (efficiency trends to
+    # cores/n by construction) — on real multi-chip hardware each mesh
+    # device owns its own compute and the same program scales per-chip
+    honest_n = max(1, cores)
+    summary = {
+        "metric": "weak_scaling_virtual_mesh",
         "host_cores": cores,
-        f"rate_{pair[0]}dev": r1["solves_per_s"],
-        f"rate_{pair[1]}dev": r2["solves_per_s"]}))
+        "honest_pair_max_devices": honest_n,
+        "table": table,
+        "note": ("virtual CPU devices share the host's physical cores; "
+                 "efficiency beyond n=cores measures core contention, "
+                 "not the sharded program (whose only collective is one "
+                 "scalar psum — see psum_overhead_ms)")}
+    print(json.dumps(summary))
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MULTICHIP_DRYRUN.json")
+    try:
+        with open(out_path) as f:
+            existing = json.load(f)
+    except Exception:
+        existing = {}
+    existing["weak_scaling"] = summary
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=1)
 
 
 if __name__ == "__main__":
