@@ -51,8 +51,12 @@ def main():
     # program-level batch tiling (the B>=256 working-set fix); 0 = off
     chunk_default = "128" if (backend != "cpu" and B > 128) else "0"
     chunk = int(os.environ.get("DOMPC_BENCH_CHUNK", chunk_default)) or None
+    # experiment hook: JSON dict of IPMSettings overrides for the
+    # cold/warm unified solver (e.g. '{"mu_init": 1e-2}')
+    ipm_json = json.loads(os.environ.get("DOMPC_BENCH_IPM_JSON", "{}"))
     solve_batch = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
-                                    throughput_mode=True, chunk=chunk)
+                                    throughput_mode=True, chunk=chunk,
+                                    **ipm_json)
 
     X = jnp.asarray(x0s)
     W = jnp.asarray(initial_guess_from_x0(mpc, x0s))
@@ -160,6 +164,28 @@ def main():
     du_F = float(jnp.max(jnp.abs(u0s_r[:, 0] - u0s_w[:, 0])
                          / (1.0 + jnp.abs(u0s_w[:, 0]))))
 
+    # bounded-drift RTI row: same hot path + the drift safeguard
+    # (corrective Newton iterations whenever the true KKT error exceeds
+    # rti_drift_tol) — the certified-hybrid deployment mode; success is
+    # judged against the drift band every step instead of drifting
+    # uncertified.
+    rti_drift = float(os.environ.get("DOMPC_BENCH_RTI_DRIFT", "1e-4"))
+    solve_rtib = make_batch_solver(mpc, tol=tol, max_iter=max_iter,
+                                   throughput_mode=True, chunk=chunk,
+                                   rti_iters=rti_n, rti_prox=rti_prox,
+                                   rti_step_max=10.0, rti_mu_decay=1.0,
+                                   rti_drift_tol=rti_drift)
+    sol_rb, u0s_rb = solve_rtib(X_w, W_w, L_w, M_r, sol.zl, sol.zu)
+    u0s_rb.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sol_rb, u0s_rb = solve_rtib(X_w, W_w, L_w, M_r, sol.zl, sol.zu)
+        u0s_rb.block_until_ready()
+    wall_rb = time.perf_counter() - t0
+    rtib_solves_per_s = B * reps / wall_rb
+    rtib_success = float(jnp.mean(sol_rb.success))
+    rtib_kkt = float(jnp.max(sol_rb.kkt_err))
+
     # MFU (lower bound): analytic flop model of the per-iteration KKT
     # linear algebra — interior condensation + band sweep + root Schur.
     # AD/residual evaluations are excluded (not cleanly countable), so the
@@ -211,6 +237,10 @@ def main():
         "rti_solves_per_s": round(rti_solves_per_s, 3),
         "rti_iters": rti_n,
         "rti_vs_warm_first_input_rel_err": round(du_F, 5),
+        "rti_bounded_solves_per_s": round(rtib_solves_per_s, 3),
+        "rti_bounded_drift_tol": rti_drift,
+        "rti_bounded_success_rate": round(rtib_success, 3),
+        "rti_bounded_max_kkt_err": round(rtib_kkt, 6),
         "tol": tol,
         "compile_plus_first_s": round(compile_and_first, 1),
         "mfu_linalg": round(mfu, 5) if mfu is not None else None,

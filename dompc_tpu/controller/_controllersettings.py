@@ -65,6 +65,12 @@ class MPCSettings(ControllerSettings):
     solver_rti_prox: float = 1e-3      # RTI Levenberg damping
     solver_rti_step_max: float = 10.0  # RTI trust-region step cap
     solver_rti_mu_decay: float = 0.1   # RTI per-iteration barrier decay
+    solver_rti_drift_tol: float | None = None  # bounded-drift RTI: extra
+                                # corrective Newton iterations whenever
+                                # the true KKT error exceeds this after
+                                # the fixed rti_iters (acados-style
+                                # drift safeguard; success certifies
+                                # against it)
     kkt_solver: str = "auto"   # 'auto' | 'dense' | 'tridiag'
     condense_z: str = "auto"   # 'auto': AD-probe whether nl_cons depend
                                # on algebraic vars (z-independent ->

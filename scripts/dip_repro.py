@@ -23,12 +23,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-os.environ.setdefault("DOMPC_TPU_X64", "1")
+F32 = bool(int(os.environ.get("DOMPC_DIP_F32", "0")))
+if not F32:
+    os.environ.setdefault("DOMPC_TPU_X64", "1")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not F32:
+    jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import jax.numpy as jnp  # noqa: E402

@@ -82,7 +82,8 @@ def main():
     def tune(mpc):
         # builders run setup(); rebuild the solver at the bench tol
         mpc.settings.solver_tol = tol
-        mpc.settings.solver_max_iter = 60
+        mpc.settings.solver_max_iter = int(
+            os.environ.get("DOMPC_LAT_MAXIT", "60"))
         if tol_loop:
             # loose barrier-loop exit + polish certification (B=1
             # latency recipe)

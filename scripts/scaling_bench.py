@@ -57,10 +57,12 @@ def measure(n_devices, per_device_batch=4, reps=3):
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
+    ax = mesh.axis_names[0]
+
     @jax.jit
-    @partial(shard_map, mesh=mesh, in_specs=P("b"), out_specs=P())
+    @partial(shard_map, mesh=mesh, in_specs=P(ax), out_specs=P())
     def psum_only(v):
-        return jax.lax.psum(jnp.sum(v), "b")
+        return jax.lax.psum(jnp.sum(v), ax)
 
     v = jnp.ones((B,))
     psum_only(v).block_until_ready()

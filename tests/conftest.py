@@ -19,3 +19,10 @@ else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
     jax.config.update("jax_enable_x64", True)
+
+# persistent XLA compile cache: the fast suite's wall time is dominated
+# by compiles of programs that rarely change between runs (the solver
+# trace over each model family); repeat runs on the same host reuse them
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("DOMPC_TEST_CACHE", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -149,3 +149,40 @@ def test_rti_nonlinear_cstr_closed_loop():
     assert np.max(relF) <= 6e-2, f"F rel err {np.max(relF)}"
     assert np.max(relx) <= 2e-2, f"state rel err {np.max(relx)}"
     assert 0.7 <= c_rti / c_full <= 1.3, f"cost ratio {c_rti / c_full}"
+
+
+def test_rti_bounded_drift_certifies():
+    """Bounded-drift RTI (rti_drift_tol): pure RTI's KKT error drifts
+    monotonically across plant steps with success=False by construction;
+    the drift safeguard runs corrective Newton iterations whenever the
+    fixed-cost step leaves the error above the band, so every warm step
+    certifies against rti_drift_tol and the error sequence stays
+    bounded instead of growing."""
+    mpc = _mpc()
+    x0 = np.array([0.4, -0.2, 0.3, 0.1])
+    mpc.x0 = x0
+    mpc.set_initial_guess()
+    w0 = mpc.opt_x_num.copy()[None, :]
+
+    drift_tol = 1e-5
+    rti = make_batch_solver(mpc, tol=1e-8, max_iter=80, rti_iters=1,
+                            rti_drift_tol=drift_tol)
+
+    A = np.array([[0.763, 0.460, 0.115, 0.020],
+                  [-0.899, 0.763, 0.420, 0.115],
+                  [0.115, 0.020, 0.763, 0.460],
+                  [0.420, 0.115, -0.899, 0.763]])
+    Bm = np.array([[0.014], [0.063], [0.221], [0.367]])
+
+    x = x0.copy()
+    X = jnp.asarray(x[None, :])
+    sol, u = rti(X, jnp.asarray(w0))
+    errs = []
+    for _ in range(6):
+        x = A @ x + Bm[:, 0] * float(u[0, 0])
+        X = jnp.asarray(x[None, :])
+        mu0 = jnp.full((1,), 1e-6)
+        sol, u = rti(X, sol.w, sol.lam, mu0, sol.zl, sol.zu)
+        errs.append(float(sol.kkt_err[0]))
+        assert bool(sol.success[0]), f"drift step not certified: {errs}"
+    assert max(errs) <= drift_tol, errs
