@@ -94,6 +94,21 @@ def main():
     warm_iters = float(jnp.mean(sol_w.iterations.astype(jnp.float32)))
     warm_success = float(jnp.mean(sol_w.success.astype(jnp.float32)))
 
+    if os.environ.get("DOMPC_BENCH_QUICK"):
+        # experiment mode: cold + warm rows only (skips the tight/RTI
+        # program compiles — for A/Bing solver settings cheaply)
+        print(json.dumps({
+            "metric": "quick",
+            "cold_solves_per_s": round(solves_per_s, 3),
+            "warm_solves_per_s": round(warm_solves_per_s, 3),
+            "mean_iterations": round(mean_iters, 1),
+            "warm_iterations": round(warm_iters, 1),
+            "success_rate": round(success_rate, 3),
+            "warm_success_rate": round(warm_success, 3),
+            "ipm_overrides": ipm_json,
+            "compile_plus_first_s": round(compile_and_first, 1)}))
+        return
+
     # tolerance-matched warm row: the headline runs at the receding-horizon
     # tol (1e-3); this re-solves the same warm batch at the tightest
     # scaled-KKT tolerance the f32 throughput path reaches reliably.

@@ -803,6 +803,13 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
                 f"pallas lanes sweep working set too large for VMEM "
                 f"(S={S}, b={b}, t={t_cols}); using the 'lanes' sweep.")
             choice = "lanes"
+        # Mosaic reproducibly SIGABRTs compiling the streaming kernel on
+        # long chains (DIP S=101, r5 — the grid itself is fine at S=21);
+        # until the lowering is fixed upstream, long chains take the XLA
+        # lanes sweep.  DOMPC_TPU_PALLAS_SMAX raises/lowers the cutoff.
+        s_max = int(_os.environ.get("DOMPC_TPU_PALLAS_SMAX", "48"))
+        if S > s_max and not env_choice:
+            choice = "lanes"
 
     # Partitioned (SPIKE-QR) sweep: the sequential sweep is depth-bound
     # (S stages x b Householder columns); partitioning trades depth for
@@ -820,6 +827,16 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
     spike_env = _os.environ.get("DOMPC_TPU_SPIKE", "")
     if spike_env:
         n_parts = int(spike_env)
+    elif D.dtype == jnp.float32:
+        # SPIKE is f64-only by default (r5): on the CONVERGENT DIP path
+        # the partitioned sweep's f32 solves stall the whole IPM at KKT
+        # err ~2e-2 (300 maxed iterations, every step) while the plain
+        # lanes sweep certifies at 1e-4 in 13-16 warm iterations — the
+        # separator reduction's extra 2b coupling columns lose too much
+        # precision at f32.  (The r3 "3x latency win" was measured on a
+        # solve that never converged, so the accuracy cost was
+        # invisible.)  DOMPC_TPU_SPIKE=<P> still forces it on.
+        n_parts = 0
     else:
         n_parts = max(2, round((S + 1) / 8)) if S >= 48 else 0
     if n_parts < 2 or S < 2 * n_parts - 1 or choice == "lanes_wy":

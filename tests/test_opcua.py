@@ -125,7 +125,11 @@ def test_rtbase_async_loop():
     rt.set_write_tags([f"ns=1;s=Simulator[y[{i}]]" for i in range(4)])
     FakeClient.store["ns=1;s=MPC[u[0]]"] = 0.0
     rt.async_step_start()
-    time.sleep(0.15)
+    # poll instead of a fixed sleep: under load (parallel test workers)
+    # the first cycle carries a jit compile and a 0.15 s window flakes
+    deadline = time.time() + 10.0
+    while sim.data._y.shape[0] < 2 and time.time() < deadline:
+        time.sleep(0.02)
     rt.async_step_stop()
     rt.new_thread.join(timeout=2.0)
     assert sim.data._y.shape[0] >= 2   # several cycles ran
