@@ -121,9 +121,12 @@ def main():
     # mixed-precision lever for sub-1e-4 f32 tolerances — one extra
     # backsolve per Newton step against the matrix-free residual
     tight_refine = int(os.environ.get("DOMPC_BENCH_TIGHT_REFINE", "0"))
+    tight_json = json.loads(os.environ.get("DOMPC_BENCH_TIGHT_JSON",
+                                           "{}"))
     solve_tight = make_batch_solver(mpc, tol=tol_tight, max_iter=max_iter,
                                     throughput_mode=True, chunk=chunk,
-                                    n_refine_kkt=tight_refine)
+                                    n_refine_kkt=tight_refine,
+                                    **tight_json)
     M_t = jnp.full((B,), tol_tight / 10.0, X.dtype)
     # first tight solve from the 1e-3 warm state, then measure the
     # RECEDING-HORIZON tight regime: warm-started from a same-tolerance

@@ -207,6 +207,7 @@ def ipm_settings_from(st, **overrides) -> "IPMSettings":
         rti_mu_decay=getattr(st, "solver_rti_mu_decay", 0.1),
         rti_drift_tol=getattr(st, "solver_rti_drift_tol", None),
         globalization=getattr(st, "solver_globalization", "filter"),
+        n_refine_kkt=getattr(st, "solver_n_refine_kkt", 0),
     )
     ipopt_map = {
         "ipopt.tol": ("tol", float),

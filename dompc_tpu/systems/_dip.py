@@ -100,6 +100,9 @@ def dip_mpc(model):
     s.collocation_deg = 3
     s.collocation_ni = 1
     s.store_full_solution = True
+    # the cold swing-up solve takes ~160-230 filter iterations (IPOPT's
+    # default max_iter is 3000); warm steps certify in 12-17
+    s.solver_max_iter = 300
     mterm = model.aux["E_kin"] - model.aux["E_pot"]
     lterm = -model.aux["E_pot"] \
         + 10 * (model.x["pos"] - model.tvp["pos_set"])**2

@@ -84,6 +84,8 @@ def main():
         mpc.settings.solver_tol = tol
         mpc.settings.solver_max_iter = int(
             os.environ.get("DOMPC_LAT_MAXIT", "60"))
+        mpc.settings.solver_n_refine_kkt = int(
+            os.environ.get("DOMPC_LAT_REFINE", "0"))
         if tol_loop:
             # loose barrier-loop exit + polish certification (B=1
             # latency recipe)

@@ -100,6 +100,9 @@ def dip_mpc(model):
     s.collocation_deg = 3
     s.collocation_ni = 1
     s.store_full_solution = True
+    # the cold swing-up solve takes ~160 filter iterations (IPOPT's
+    # default max_iter is 3000); warm steps certify in ~16
+    s.solver_max_iter = 300
     mterm = model.aux["E_kin"] - model.aux["E_pot"]
     lterm = -model.aux["E_pot"] \
         + 10 * (model.x["pos"] - model.tvp["pos_set"])**2
@@ -156,8 +159,14 @@ def test_dip_closed_loop():
     sim.init_algebraic_variables()
 
     n_steps = 3  # 5 in the reference test; trimmed for CI wall-time
-    for _ in range(n_steps):
+    for k in range(n_steps):
         u0 = mpc.make_step(x0)
+        # the r5 regression gate for the r4 top gap: every DIP solve
+        # must CERTIFY (the limit-cycled merit solver returned
+        # success=False at every step while tracking by accident)
+        assert mpc.solver_stats["success"], (
+            f"step {k}: iters={mpc.solver_stats['iter_count']} "
+            f"kkt={mpc.solver_stats['kkt_err']:.2e}")
         y_next = sim.make_step(u0)
         x0 = est.make_step(y_next)
 
