@@ -92,16 +92,16 @@ def make_batch_solver(mpc, tol=1e-6, max_iter=60, use_structured=True,
         # element triggering them still stalls the whole batch for that
         # trip, so throughput mode keeps them off and lets the non-finite
         # step guard + adaptive prox damping carry robustness
-        ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,
-                                   reg_retries=0, use_soc=False,
-                                   do_polish=False, rti_iters=rti_iters,
-                                   # restoration's _cond_any adds a
-                                   # fusion-splitting while boundary to
-                                   # the hot loop (~17 ms/iter at B=128
-                                   # even with zero trips) — off here,
-                                   # alpha_min fallback carries failures
-                                   use_resto=False,
-                                   **ipm_overrides)
+        kw = dict(tol=tol, max_iter=max_iter,
+                  reg_retries=0, use_soc=False,
+                  do_polish=False, rti_iters=rti_iters,
+                  # restoration's _cond_any adds a fusion-splitting
+                  # while boundary to the hot loop (~17 ms/iter at
+                  # B=128 even with zero trips) — off here, alpha_min
+                  # fallback carries failures
+                  use_resto=False)
+        kw.update(ipm_overrides)   # explicit overrides win
+        ipm_settings = IPMSettings(**kw)
         n_refine = 1
     else:
         ipm_settings = IPMSettings(tol=tol, max_iter=max_iter,

@@ -100,6 +100,24 @@ class IPMSettings:
                                 # NLP; same role)
     delta_reg: float = 1e-8     # base primal regularization
     delta_cons: float = 1e-11   # dual regularization (keeps KKT nonsingular)
+    cold_dual_init: bool = False  # least-squares multiplier estimation
+                                # for cold solves (one extra backsolve
+                                # before the loop; IPOPT's
+                                # least_square_init_duals analogue).
+                                # MEASURED NET-NEGATIVE on the flagship
+                                # (r5): cold iterations 14 -> 18-22
+                                # across refit_delta 3e2..1e4 — the
+                                # lam-from-zero walk the estimate was
+                                # meant to skip also does productive
+                                # primal work, and the LS multipliers
+                                # mislead the lam-weighted Hessian far
+                                # from the optimum.  Kept as a recorded
+                                # experiment; delta must stay ~<=1e3 in
+                                # f32 (at 1e8 the dual Schur pivot
+                                # ||J||^2/delta drowns in eps*delta
+                                # elimination noise -> |lam| ~ 1e9).
+    lam_init_max: float = 1e4   # reject LS dual estimates larger than
+                                # this (fall back to lam=0)
     dual_cap: float = 1e2       # relative trust region on the equality-
                                 # multiplier step (filter mode):
                                 # |dlam|_inf <= dual_cap * (1+|lam|_inf).
@@ -1448,6 +1466,64 @@ def make_ipm_solver(
                         th_max=1e4 * jnp.maximum(1.0, theta0),
                         th_min=1e-4 * jnp.maximum(1.0, theta0))
 
+    def estimate_duals(w, s, zl, zu, p, mu):
+        """Least-squares multiplier initialization for COLD solves (the
+        IPOPT least_square_init_duals analogue): one proximal-weighted
+        KKT solve at lam=0 returns the (barrier-metric) LS multipliers.
+        Measured r5 cold anatomy: 6 of 14 flagship iterations were spent
+        walking lam from 0 to ~380 against a dual residual of 900 — this
+        removes that phase for one backsolve.  Runs OUTSIDE the solver
+        loop on the statically-cold path only, so it adds no while-
+        boundary to the hot program."""
+        dl_w, dl_s = dist_l(w, s)
+        du_w = dist_u(w)
+        dl_w = jnp.maximum(dl_w, _TINY)
+        du_w = jnp.maximum(du_w, _TINY)
+        dl_s = jnp.maximum(dl_s, _TINY)
+        sig_w = jnp.where(has_lb, zl[:n] / dl_w, 0.0) \
+            + jnp.where(has_ub, zu[:n] / du_w, 0.0)
+        inv_sig_s = dl_s / jnp.maximum(zl[n:], _TINY) if q \
+            else jnp.zeros((0,), w.dtype)
+        gf = grad_f(w, p)
+        r_dw = gf - jnp.where(has_lb, mu / dl_w, 0.0) \
+                  + jnp.where(has_ub, mu / du_w, 0.0)
+        r_ds = -mu / dl_s if q else jnp.zeros((0,), w.dtype)
+        zero_g = jnp.zeros((m,), w.dtype)
+        r_h_ls = (-r_ds * inv_sig_s) if q else jnp.zeros((0,), w.dtype)
+        if structured_solve is not None:
+            if isinstance(structured_solve, tuple):
+                ctx = structured_solve[0](w, p, zero_g,
+                                          jnp.zeros((q,), w.dtype),
+                                          sig_w, inv_sig_s)
+                _, dg, dh = structured_solve[1](
+                    ctx, r_dw, zero_g, r_h_ls,
+                    jnp.asarray(st.refit_delta, w.dtype))
+            else:
+                _, dg, dh = structured_solve(
+                    w, p, zero_g, jnp.zeros((q,), w.dtype), sig_w,
+                    inv_sig_s, r_dw, zero_g, r_h_ls,
+                    jnp.asarray(st.refit_delta, w.dtype))
+        else:
+            Jg = jac_g(w, p) if m else jnp.zeros((0, n), w.dtype)
+            Jh = jac_h(w, p) if q else jnp.zeros((0, n), w.dtype)
+            Hw = hess_fn(w, p, zero_g, jnp.zeros((q,), w.dtype))
+            _, dg, dh = solve_kkt(Hw, sig_w, Jg, Jh, inv_sig_s, r_dw,
+                                  zero_g, r_h_ls,
+                                  jnp.asarray(st.refit_delta, w.dtype))
+        lam_ls = jnp.concatenate([dg, dh])
+        # guard: a garbage estimate from a degenerate init point must
+        # not be worse than the plain lam=0 start
+        ok = jnp.all(jnp.isfinite(lam_ls)) \
+            & (jnp.max(jnp.abs(lam_ls), initial=0.0) < st.lam_init_max)
+        if st.debug:
+            jax.debug.print(
+                "  estimate_duals: raw|lam|={l:.2e} finite={f} "
+                "|r_dw|={r:.2e}",
+                l=jnp.max(jnp.abs(lam_ls), initial=0.0),
+                f=jnp.all(jnp.isfinite(lam_ls)),
+                r=jnp.max(jnp.abs(r_dw), initial=0.0))
+        return jnp.where(ok, lam_ls, 0.0)
+
     # -- active-set Newton polish ------------------------------------------
     # The barrier loop identifies the active set and gets within ~1e-3..1e-5;
     # a few full Newton steps with the active set FIXED (active bounds pinned
@@ -1550,6 +1626,27 @@ def make_ipm_solver(
     def _solve_impl(w0, p, lam0=None, mu0=None, zl0=None, zu0=None):
         state = init_state(jnp.asarray(w0), p, lam0=lam0, mu0=mu0,
                            zl0=zl0, zu0=zu0)
+        if st.cold_dual_init and (m + q) and st.rti_iters == 0:
+            # Cold solves carry lam == 0 (both the static lam0=None path
+            # and the batch layer's cold-emulation-through-the-warm-
+            # program, parallel/batch.py).  The _cond_any sits OUTSIDE
+            # the solver loop: warm batches take zero trips and the hot
+            # loop body is untouched (the r3/r5 while-boundary cost
+            # applies to boundaries inside the loop).
+            pred = jnp.max(jnp.abs(state.lam), initial=0.0) == 0.0
+            lam_ls = _cond_any(
+                pred,
+                lambda: estimate_duals(state.w, state.s, state.zl,
+                                       state.zu, p, state.mu),
+                jnp.zeros_like(state.lam))
+            lam_n = jnp.where(pred, lam_ls, state.lam)
+            if st.debug:
+                jax.debug.print(
+                    "cold_dual_init: pred={p} |lam_ls|={l:.2e}",
+                    p=pred, l=jnp.max(jnp.abs(lam_ls), initial=0.0))
+            state = state._replace(
+                lam=lam_n, best=(state.w, state.s, lam_n, state.zl,
+                                 state.zu))
         # RTI only makes sense from a warm primal-dual start: a cold start
         # (no lam0) always runs the full globalized loop, so the first solve
         # of a receding-horizon sequence converges properly and every
