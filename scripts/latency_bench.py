@@ -94,6 +94,11 @@ def main():
             # fixed-iteration warm steps at the warm barrier floor
             mpc.settings.solver_rti_iters = rti
             mpc.settings.warm_start_mu = tol / 10.0
+            drift = os.environ.get("DOMPC_LAT_RTI_DRIFT")
+            if drift:
+                # bounded-drift safeguard (corrective iterations when
+                # the KKT error leaves the band)
+                mpc.settings.solver_rti_drift_tol = float(drift)
         mpc._create_solver()
         return mpc
 
