@@ -803,13 +803,6 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
                 f"pallas lanes sweep working set too large for VMEM "
                 f"(S={S}, b={b}, t={t_cols}); using the 'lanes' sweep.")
             choice = "lanes"
-        # Mosaic reproducibly SIGABRTs compiling the streaming kernel on
-        # long chains (DIP S=101, r5 — the grid itself is fine at S=21);
-        # until the lowering is fixed upstream, long chains take the XLA
-        # lanes sweep.  DOMPC_TPU_PALLAS_SMAX raises/lowers the cutoff.
-        s_max = int(_os.environ.get("DOMPC_TPU_PALLAS_SMAX", "48"))
-        if S > s_max and not env_choice:
-            choice = "lanes"
 
     # Partitioned (SPIKE-QR) sweep: the sequential sweep is depth-bound
     # (S stages x b Householder columns); partitioning trades depth for
@@ -835,8 +828,22 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
         # separator reduction's extra 2b coupling columns lose too much
         # precision at f32.  (The r3 "3x latency win" was measured on a
         # solve that never converged, so the accuracy cost was
-        # invisible.)  DOMPC_TPU_SPIKE=<P> still forces it on.
-        n_parts = 0
+        # invisible.)  DOMPC_TPU_SPIKE=<P> still forces it on, and
+        # DOMPC_TPU_SPIKE_F32_REFINE=<k> tunes the default below: the
+        # auto heuristic re-enabled with k whole-system iterative-
+        # refinement passes (the residual re-solve at the bottom) claws
+        # the lost precision back — each pass costs one more
+        # partitioned sweep, so it wins while (1 + k) * spike_sweep <
+        # plain_sweep.  Measured on DIP S=101 (r5): k=1 certifies most
+        # steps then intermittently diverges (kkt 5.4 on 2 of 5); k=2
+        # certifies every step at 12 iterations and 431 ms/step vs the
+        # plain lanes sweep's 626 ms — the f32 long-chain default.
+        # k=0 restores the plain sweep.
+        sp_ref = int(_os.environ.get("DOMPC_TPU_SPIKE_F32_REFINE", "2"))
+        n_parts = (max(2, round((S + 1) / 8))
+                   if (sp_ref and S >= 48) else 0)
+        if n_parts:
+            n_refine = max(n_refine, sp_ref)
     else:
         n_parts = max(2, round((S + 1) / 8)) if S >= 48 else 0
     if n_parts < 2 or S < 2 * n_parts - 1 or choice == "lanes_wy":
@@ -844,6 +851,16 @@ def bbd_solve(D, U, Lo, Bord, Root, rhs_c, rhs_r, n_refine=0,
         # sweep, and the lanes_wy A/B knob must actually measure the WY
         # variant rather than being silently overridden by SPIKE
         n_parts = 0
+    if choice == "pallas":
+        # Long chains drop to the XLA lanes sweep, both unpartitioned
+        # (Mosaic reproducibly SIGABRTs compiling the streaming kernel
+        # at DIP's S=101; fine at S=21) and inside SPIKE segments
+        # (pallas-inner SPIKE measured kkt ~9.5 divergence on DIP where
+        # lanes-inner certifies at 431 ms/step — r5).
+        # DOMPC_TPU_PALLAS_SMAX raises/lowers the cutoff.
+        s_max = int(_os.environ.get("DOMPC_TPU_PALLAS_SMAX", "48"))
+        if S > s_max and not env_choice:
+            choice = "lanes"
 
     def one_solve(rc, rr):
         aug = jnp.concatenate([Bord, rc[..., None]], axis=-1) if R \
