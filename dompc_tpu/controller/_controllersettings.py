@@ -71,6 +71,16 @@ class MPCSettings(ControllerSettings):
                                 # the fixed rti_iters (acados-style
                                 # drift safeguard; success certifies
                                 # against it)
+    solver_rti_extra_max: int = 6  # cap on bounded-drift corrective
+                                # iterations (per warm step)
+    solver_rti_filter: bool = False  # filter-RTI hybrid: warm make_step
+                                # calls run the FULL filter line-search
+                                # body capped at solver_rti_iters
+                                # iterations (plus drift corrections when
+                                # solver_rti_drift_tol is set) instead of
+                                # raw damped Newton steps.  The deployment
+                                # mode for strongly nonlinear plants (DIP
+                                # swing-up) where pure RTI diverges.
     kkt_solver: str = "auto"   # 'auto' | 'dense' | 'tridiag'
     condense_z: str = "auto"   # 'auto': AD-probe whether nl_cons depend
                                # on algebraic vars (z-independent ->

@@ -179,6 +179,19 @@ class IPMSettings:
                                 # None = pure fixed-cost RTI (no
                                 # certification, error may drift).
     rti_extra_max: int = 6      # cap on drift-correction iterations
+    rti_filter: bool = False    # filter-RTI hybrid: warm steps run the FULL
+                                # globalized filter loop (line search, SOC,
+                                # restoration ladder) but capped at rti_iters
+                                # iterations instead of raw damped Newton
+                                # steps.  This is the deployment mode for
+                                # strongly nonlinear plants (DIP swing-up)
+                                # where pure RTI's fixed undamped steps
+                                # diverge (measured r5: kkt -> 8.8e5) —
+                                # each step costs at most rti_iters filter
+                                # iterations, and with rti_drift_tol set the
+                                # loop exits EARLY whenever the warm state is
+                                # already inside the band (adaptive cost,
+                                # acados-style certification).
     rti_mu_decay: float = 0.1   # per-RTI-iteration barrier decrease: at the
                                 # warm-start mu the central-path bias in
                                 # near-degenerate directions is O(mu/
@@ -224,6 +237,8 @@ def ipm_settings_from(st, **overrides) -> "IPMSettings":
         rti_step_max=getattr(st, "solver_rti_step_max", 10.0),
         rti_mu_decay=getattr(st, "solver_rti_mu_decay", 0.1),
         rti_drift_tol=getattr(st, "solver_rti_drift_tol", None),
+        rti_filter=getattr(st, "solver_rti_filter", False),
+        rti_extra_max=getattr(st, "solver_rti_extra_max", 6),
         globalization=getattr(st, "solver_globalization", "filter"),
         n_refine_kkt=getattr(st, "solver_n_refine_kkt", 0),
     )
@@ -870,9 +885,16 @@ def make_ipm_solver(
     # -- main loop ----------------------------------------------------------
     loop_tol = st.tol if st.tol_loop is None else max(st.tol_loop, st.tol)
 
-    def solver_loop(state: IPMState, p):
+    def solver_loop(state: IPMState, p, it_cap=None, exit_tol=None):
+        # it_cap/exit_tol parametrize the filter-RTI hybrid: the same
+        # globalized body with a small fixed iteration budget and a
+        # drift-band exit tolerance (both static Python values, baked
+        # into the trace).  Defaults reproduce the full solver loop.
+        cap = st.max_iter if it_cap is None else it_cap
+        etol = loop_tol if exit_tol is None else exit_tol
+
         def cond(stt: IPMState):
-            return (~stt.converged) & (stt.it < st.max_iter)
+            return (~stt.converged) & (stt.it < cap)
 
         def body(stt: IPMState):
             w, s, lam, zl, zu, mu = stt.w, stt.s, stt.lam, stt.zl, stt.zu, stt.mu
@@ -884,7 +906,7 @@ def make_ipm_solver(
             res0 = kkt_residuals(w, s, lam, zl, zu, p, pre=pre)
             err_mu = err_from(res0, mu)
             err_0 = err_from(res0, 0.0)
-            converged = err_0 <= loop_tol
+            converged = err_0 <= etol
 
             # NOTE: wrapping everything below in a _cond_any "skip when
             # the whole batch is converged" was built and measured: the
@@ -1432,7 +1454,11 @@ def make_ipm_solver(
         # start, and the central restart was measured to stall one
         # dynamic-bicycle closed-loop step at kkt_err ~2e-4 (a weakly
         # active bound restarted with a tiny/huge dual mid-horizon).
-        use_central = st.rti_iters > 0
+        # the filter-RTI hybrid runs the globalized body, so it keeps
+        # the globalized loop's plain restart (central restart + filter
+        # body measured kkt 0.21 after 8 capped iterations on the
+        # oscillating-masses warm loop vs 1e-6 with the plain restart)
+        use_central = st.rti_iters > 0 and not st.rti_filter
         if zl0 is not None:
             dl_w0, dl_s0 = dist_l(w, s)
             central_l = jnp.minimum(z0v, mu / jnp.maximum(
@@ -1652,6 +1678,45 @@ def make_ipm_solver(
         # of a receding-horizon sequence converges properly and every
         # subsequent step takes the fixed-cost RTI path.
         if st.rti_iters > 0 and lam0 is not None:
+            if st.rti_filter:
+                # filter-RTI hybrid: the full globalized filter body
+                # (line search, SOC, prox ladder) with a fixed small
+                # iteration budget.  Pure RTI's undamped Newton steps
+                # diverge on strongly nonlinear plants (DIP swing-up:
+                # kkt -> 8.8e5, BENCH.md r5 item 10); this keeps the
+                # per-step cost capped at rti_iters filter iterations
+                # while retaining the globalization that makes those
+                # steps safe.  With rti_drift_tol set, the exit
+                # tolerance is the drift band and extra corrective
+                # iterations (up to rti_extra_max) run only while the
+                # state is outside it — warm in-band steps exit after
+                # one body pass (the straight-line body still computes
+                # its Newton step before the freeze, so the floor cost
+                # is one iteration, not one residual check).
+                etol = (st.tol if st.rti_drift_tol is None
+                        else max(st.rti_drift_tol, st.tol))
+                cap = st.rti_iters + (st.rti_extra_max
+                                      if st.rti_drift_tol is not None
+                                      else 0)
+                final = solver_loop(state, p, it_cap=cap, exit_tol=etol)
+                # the budget exit leaves final.w one step past the last
+                # evaluated error — certify on an evaluated point (the
+                # watchdog's best iterate vs. the freshly evaluated
+                # final state, whichever is better)
+                err_fin = kkt_error(final.w, final.s, final.lam,
+                                    final.zl, final.zu, p, 0.0)
+                wd = final.best_err < err_fin
+                bw, bs, blam, bzl, bzu = final.best
+                w_r = jnp.where(wd, bw, final.w)
+                s_r = jnp.where(wd, bs, final.s)
+                lam_r = jnp.where(wd, blam, final.lam)
+                zl_r = jnp.where(wd, bzl, final.zl)
+                zu_r = jnp.where(wd, bzu, final.zu)
+                err_r = jnp.where(wd, final.best_err, err_fin)
+                return IPMSolution(
+                    w=w_r, s=s_r, lam=lam_r, zl=zl_r, zu=zu_r,
+                    f=f(w_r, p), kkt_err=err_r, iterations=final.it,
+                    success=err_r <= etol)
             final = rti_loop(state, p)
             return IPMSolution(
                 w=final.w, s=final.s, lam=final.lam, zl=final.zl,

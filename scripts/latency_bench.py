@@ -99,6 +99,10 @@ def main():
                 # bounded-drift safeguard (corrective iterations when
                 # the KKT error leaves the band)
                 mpc.settings.solver_rti_drift_tol = float(drift)
+            if os.environ.get("DOMPC_LAT_RTI_FILTER"):
+                # filter-RTI hybrid: capped globalized iterations
+                # instead of raw damped Newton (the DIP deployment mode)
+                mpc.settings.solver_rti_filter = True
         mpc._create_solver()
         return mpc
 

@@ -186,3 +186,53 @@ def test_rti_bounded_drift_certifies():
         errs.append(float(sol.kkt_err[0]))
         assert bool(sol.success[0]), f"drift step not certified: {errs}"
     assert max(errs) <= drift_tol, errs
+
+
+def test_rti_filter_hybrid_certifies_with_capped_iters():
+    """Filter-RTI hybrid (rti_filter=True): warm steps run the FULL
+    globalized filter body capped at rti_iters iterations (plus drift
+    corrections up to rti_extra_max), instead of raw damped Newton
+    steps.  Semantics pinned here:
+
+    * cold calls (no lam0) still run the full globalized loop,
+    * every warm step certifies against rti_drift_tol with iteration
+      count bounded by rti_iters + rti_extra_max,
+    * warm states already inside the band exit without iterating
+      (adaptive cost — the loop's convergence check fires on entry).
+    """
+    mpc = _mpc()
+    x0 = np.array([0.4, -0.2, 0.3, 0.1])
+    mpc.x0 = x0
+    mpc.set_initial_guess()
+    w0 = mpc.opt_x_num.copy()[None, :]
+
+    drift_tol = 1e-5
+    n_rti, n_extra = 2, 6
+    rti = make_batch_solver(mpc, tol=1e-8, max_iter=80, rti_iters=n_rti,
+                            rti_filter=True, rti_drift_tol=drift_tol,
+                            rti_extra_max=n_extra)
+
+    X = jnp.asarray(x0[None, :])
+    sol, u = rti(X, jnp.asarray(w0))
+    # cold call ignores the RTI cap and converges properly
+    assert bool(sol.success[0])
+    assert int(sol.iterations[0]) > n_rti
+
+    A = np.array([[0.763, 0.460, 0.115, 0.020],
+                  [-0.899, 0.763, 0.420, 0.115],
+                  [0.115, 0.020, 0.763, 0.460],
+                  [0.420, 0.115, -0.899, 0.763]])
+    Bm = np.array([[0.014], [0.063], [0.221], [0.367]])
+
+    x = x0.copy()
+    errs, iters = [], []
+    for _ in range(6):
+        x = A @ x + Bm[:, 0] * float(u[0, 0])
+        X = jnp.asarray(x[None, :])
+        mu0 = jnp.full((1,), 1e-6)
+        sol, u = rti(X, sol.w, sol.lam, mu0, sol.zl, sol.zu)
+        errs.append(float(sol.kkt_err[0]))
+        iters.append(int(sol.iterations[0]))
+        assert bool(sol.success[0]), f"hybrid step not certified: {errs}"
+    assert max(errs) <= drift_tol, errs
+    assert max(iters) <= n_rti + n_extra, iters
